@@ -1,0 +1,150 @@
+"""Functional NN primitives (NHWC, param pytrees keyed like torch modules).
+
+Parameters live in nested dicts whose keys mirror the reference checkpoints'
+``state_dict`` names (``fnet.layer1.0.conv1.weight`` -> params['fnet']
+['layer1']['0']['conv1']['weight']); conv kernels are stored HWIO. This makes
+the ``.pth`` converter a pure re-keying/transpose pass
+(ref:pytracking/optical_flow/raft.py:54-69) while the forward functions stay
+idiomatic JAX.
+
+Norm semantics match torch eval mode:
+- InstanceNorm2d: affine=False, always uses per-sample spatial statistics.
+- BatchNorm2d: eval uses running statistics.
+- GroupNorm: affine, group statistics.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+# Precision for convolutions / matmuls. 'highest' gives fp32 MXU passes for
+# parity; bench configs may relax this module-wide.
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_precision(precision):
+    """Set module-wide conv/dot precision ('highest' for parity, 'default'
+    to let the MXU use bf16 passes)."""
+    global _PRECISION
+    _PRECISION = (jax.lax.Precision(precision)
+                  if not isinstance(precision, jax.lax.Precision)
+                  else precision)
+
+
+def get_precision():
+    return _PRECISION
+
+
+def conv2d(p, x, stride=1, padding=0, dtype=None):
+    """2-D convolution, torch-compatible explicit padding.
+
+    Args:
+        p: {'weight': (Kh, Kw, Cin, Cout), 'bias': (Cout,) [optional]}.
+        x: (N, H, W, Cin).
+        stride: int or (sh, sw).
+        padding: int or (ph, pw) zero padding on both sides.
+    """
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    w = p["weight"]
+    if dtype is not None:
+        w = w.astype(dtype)
+        x = x.astype(dtype)
+    out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=stride,
+        padding=((padding[0], padding[0]), (padding[1], padding[1])),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=_PRECISION)
+    if "bias" in p and p["bias"] is not None:
+        out = out + p["bias"].astype(out.dtype)
+    return out
+
+
+def instance_norm(x, eps=1e-5):
+    """torch InstanceNorm2d(affine=False) twin: per-(n, c) spatial stats."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def batch_norm_eval(p, x, eps=1e-5):
+    """torch BatchNorm2d eval twin: running statistics + affine."""
+    rm = p["running_mean"]
+    rv = p["running_var"]
+    scale = p["weight"] * jax.lax.rsqrt(rv + eps)
+    return x * scale + (p["bias"] - rm * scale)
+
+
+def group_norm(p, x, num_groups, eps=1e-5):
+    """torch GroupNorm twin (affine)."""
+    N, H, W, C = x.shape
+    g = x.reshape(N, H, W, num_groups, C // num_groups)
+    mean = jnp.mean(g, axis=(1, 2, 4), keepdims=True)
+    var = jnp.var(g, axis=(1, 2, 4), keepdims=True)
+    g = (g - mean) * jax.lax.rsqrt(var + eps)
+    x = g.reshape(N, H, W, C)
+    return x * p["weight"] + p["bias"]
+
+
+def apply_norm(p, x, norm_fn, num_groups=None):
+    """Dispatch over the reference's norm_fn strings
+    (ref:raft_core/extractor.py:16-38)."""
+    if norm_fn == "none":
+        return x
+    if norm_fn == "instance":
+        return instance_norm(x)
+    if norm_fn == "batch":
+        return batch_norm_eval(p, x)
+    if norm_fn == "group":
+        return group_norm(p, x, num_groups)
+    raise ValueError(f"unknown norm_fn {norm_fn}")
+
+
+def relu(x):
+    return jnp.maximum(x, 0)
+
+
+# ---------------------------------------------------------------------------
+# initialisation (for training-from-scratch; checkpoints come via convert.py)
+# ---------------------------------------------------------------------------
+
+def init_conv(key, kh, kw, cin, cout, kaiming_out=False, bias=True):
+    """Conv init. ``kaiming_out=True`` = kaiming_normal fan_out/relu as in
+    the reference encoders (ref:raft_core/extractor.py:150-152); otherwise
+    torch's default Conv2d init (kaiming_uniform a=sqrt(5) + uniform bias).
+    """
+    wkey, bkey = jax.random.split(key)
+    if kaiming_out:
+        fan_out = kh * kw * cout
+        std = math.sqrt(2.0 / fan_out)
+        w = std * jax.random.normal(wkey, (kh, kw, cin, cout))
+    else:
+        fan_in = kh * kw * cin
+        gain = math.sqrt(2.0 / (1 + 5.0))       # a = sqrt(5)
+        bound = gain * math.sqrt(3.0 / fan_in)
+        w = jax.random.uniform(wkey, (kh, kw, cin, cout), minval=-bound,
+                               maxval=bound)
+    p = {"weight": w}
+    if bias:
+        fan_in = kh * kw * cin
+        bound = 1.0 / math.sqrt(fan_in)
+        p["bias"] = jax.random.uniform(bkey, (cout,), minval=-bound,
+                                       maxval=bound)
+    return p
+
+
+def init_norm(norm_fn, channels):
+    """Norm params (weight=1, bias=0, running stats identity) — matches the
+    reference's constant init (ref:raft_core/extractor.py:153-157)."""
+    if norm_fn == "batch":
+        return {"weight": jnp.ones(channels), "bias": jnp.zeros(channels),
+                "running_mean": jnp.zeros(channels),
+                "running_var": jnp.ones(channels),
+                "num_batches_tracked": jnp.zeros((), jnp.int64)}
+    if norm_fn == "group":
+        return {"weight": jnp.ones(channels), "bias": jnp.zeros(channels)}
+    return {}

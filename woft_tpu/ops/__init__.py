@@ -1,0 +1,16 @@
+from .warp import (  # noqa: F401
+    grid_sample,
+    bilinear_sample,
+    warp_perspective,
+    upsample2d_align_corners,
+    upflow8,
+    avg_pool2d,
+    coords_grid,
+)
+from .pad import NoPadder, CropPadder, ReplicatePadder, ResizePadder, make_padder  # noqa: F401
+from .sampling import (  # noqa: F401
+    sobol_1d,
+    featuremap_coords,
+    sobol_select_mask,
+    masked_sobol_gather,
+)

@@ -1,0 +1,181 @@
+"""Device-side image sampling and warping primitives (NHWC, jit-friendly).
+
+These are the JAX twins of the torch/cv2 ops the reference leans on, with
+matching numerics (each is parity-tested in tests/test_ops.py):
+
+- ``grid_sample``            ~ torch ``F.grid_sample(align_corners=True,
+                               padding_mode='zeros')`` wrapped in pixel
+                               coordinates (ref:raft_core/utils/utils.py:59-73)
+- ``warp_perspective``       ~ ``cv2.warpPerspective`` (INTER_LINEAR /
+                               INTER_NEAREST, constant 0 border)
+                               (ref:tracker/YAOF_tracker_single_control.py:89-95)
+- ``upsample2d_align_corners`` / ``upflow8``
+                             ~ ``F.interpolate(mode='bilinear',
+                               align_corners=True)`` x8 flow upsampling
+                               (ref:raft_core/utils/utils.py:82-84)
+- ``avg_pool2d``             ~ ``F.avg_pool2d(x, 2, stride=2)`` on odd sizes
+                               (ref:raft_core/corr.py:25-27)
+
+All images are NHWC (TPU-native layout); coordinates are (x, y) pixel
+coordinates with pixel centers on the integer grid.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather_nhwc(img, iy, ix):
+    """Gather pixels: img (N,H,W,C), iy/ix (N, ...) int32 -> (N, ..., C)."""
+    N = img.shape[0]
+    batch_idx = jnp.arange(N).reshape((N,) + (1,) * (iy.ndim - 1))
+    batch_idx = jnp.broadcast_to(batch_idx, iy.shape)
+    return img[batch_idx, iy, ix]
+
+
+def grid_sample(img, coords, mode="bilinear"):
+    """Sample ``img`` at pixel coordinates with zero padding outside.
+
+    Matches torch ``F.grid_sample(..., align_corners=True,
+    padding_mode='zeros')`` after the pixel->[-1,1] rescale the reference's
+    ``bilinear_sampler`` performs: out-of-bounds bilinear corners contribute
+    exactly 0.
+
+    Args:
+        img: (N, H, W, C) float array.
+        coords: (N, ..., 2) float (x, y) pixel coordinates.
+        mode: 'bilinear' or 'nearest'.
+    Returns:
+        (N, ..., C) samples.
+    """
+    H, W = img.shape[1], img.shape[2]
+    x = coords[..., 0]
+    y = coords[..., 1]
+
+    if mode == "nearest":
+        # torch grid_sample nearest after align_corners unnormalisation:
+        # round-half-away handled below in warp_perspective; here use
+        # round-to-nearest-even like torch.
+        ix = jnp.round(x).astype(jnp.int32)
+        iy = jnp.round(y).astype(jnp.int32)
+        valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+        out = _gather_nhwc(img, jnp.clip(iy, 0, H - 1), jnp.clip(ix, 0, W - 1))
+        return out * valid[..., None].astype(img.dtype)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(img.dtype)
+    fy = (y - y0).astype(img.dtype)
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    out = None
+    for dy, wy in ((0, (1 - fy)), (1, fy)):
+        for dx, wx in ((0, (1 - fx)), (1, fx)):
+            ix = x0 + dx
+            iy = y0 + dy
+            valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+            v = _gather_nhwc(img, jnp.clip(iy, 0, H - 1),
+                             jnp.clip(ix, 0, W - 1))
+            w = (wx * wy) * valid.astype(img.dtype)
+            term = v * w[..., None]
+            out = term if out is None else out + term
+    return out
+
+
+# alias used by the correlation lookup
+bilinear_sample = grid_sample
+
+
+def warp_perspective(img, H, out_shape=None, mode="bilinear"):
+    """``cv2.warpPerspective`` twin: dst(x, y) = src(H^-1 (x, y)).
+
+    cv2 semantics: the forward map ``H`` is inverted, destination pixel
+    centers are projected into the source, bilinear with BORDER_CONSTANT=0
+    (or nearest for masks). Used for the tracker pre-warp
+    (ref:YAOF_tracker_single_control.py:89-95) and mask warps.
+
+    Args:
+        img: (N, H, W, C) float array.
+        H: (N, 3, 3) or (3, 3) forward homography (src -> dst).
+        out_shape: optional (out_h, out_w); defaults to input size.
+        mode: 'bilinear' or 'nearest'.
+    """
+    if H.ndim == 2:
+        H = H[None]
+    N = img.shape[0]
+    out_h, out_w = out_shape if out_shape is not None else img.shape[1:3]
+
+    Hinv = jnp.linalg.inv(H.astype(jnp.float32))                  # (N,3,3)
+    ys, xs = jnp.meshgrid(jnp.arange(out_h, dtype=jnp.float32),
+                          jnp.arange(out_w, dtype=jnp.float32),
+                          indexing="ij")
+    ones = jnp.ones_like(xs)
+    dst = jnp.stack([xs, ys, ones], axis=-1).reshape(-1, 3)       # (HW,3)
+    # coordinates must be exact fp32: never let this einsum drop to bf16
+    src = jnp.einsum('nij,pj->npi', Hinv, dst,
+                     precision=jax.lax.Precision.HIGHEST)         # (N,HW,3)
+    z = src[..., 2:3]
+    src_xy = src[..., :2] / jnp.where(jnp.abs(z) < 1e-12,
+                                      jnp.where(z < 0, -1e-12, 1e-12), z)
+    coords = src_xy.reshape(N, out_h, out_w, 2)
+
+    if mode == "nearest":
+        # cv2 INTER_NEAREST truncates via fixed-point floor(x + 0.5)
+        x = coords[..., 0]
+        y = coords[..., 1]
+        ix = jnp.floor(x + 0.5).astype(jnp.int32)
+        iy = jnp.floor(y + 0.5).astype(jnp.int32)
+        valid = (ix >= 0) & (ix < img.shape[2]) & (iy >= 0) & (iy < img.shape[1])
+        out = _gather_nhwc(img, jnp.clip(iy, 0, img.shape[1] - 1),
+                           jnp.clip(ix, 0, img.shape[2] - 1))
+        return out * valid[..., None].astype(img.dtype)
+    return grid_sample(img, coords, mode="bilinear")
+
+
+def upsample2d_align_corners(x, out_hw):
+    """Bilinear resize with torch ``align_corners=True`` semantics.
+
+    Output pixel i maps to input coordinate ``i * (in - 1) / (out - 1)``.
+    (jax.image.resize uses half-pixel centers, so we sample explicitly.)
+
+    Args:
+        x: (N, H, W, C).
+        out_hw: (out_h, out_w).
+    """
+    out_h, out_w = out_hw
+    in_h, in_w = x.shape[1], x.shape[2]
+    sy = (in_h - 1) / (out_h - 1) if out_h > 1 else 0.0
+    sx = (in_w - 1) / (out_w - 1) if out_w > 1 else 0.0
+    ys = jnp.arange(out_h, dtype=jnp.float32) * sy
+    xs = jnp.arange(out_w, dtype=jnp.float32) * sx
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    coords = jnp.broadcast_to(jnp.stack([gx, gy], axis=-1)[None],
+                              (x.shape[0], out_h, out_w, 2))
+    return grid_sample(x, coords, mode="bilinear")
+
+
+def upflow8(flow):
+    """x8 bilinear flow upsampling with value scaling
+    (ref:raft_core/utils/utils.py:82-84). flow: (N, H, W, 2)."""
+    out_hw = (8 * flow.shape[1], 8 * flow.shape[2])
+    return 8.0 * upsample2d_align_corners(flow, out_hw)
+
+
+def avg_pool2d(x, window=2, stride=2):
+    """torch ``F.avg_pool2d`` twin (VALID padding, floor output size).
+
+    x: (N, H, W, C)."""
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID") / float(window * window)
+
+
+def coords_grid(batch, ht, wd, dtype=jnp.float32):
+    """(N, H, W, 2) grid of (x, y) pixel coordinates
+    (ref:raft_core/utils/utils.py:76-79, channel-last)."""
+    ys, xs = jnp.meshgrid(jnp.arange(ht, dtype=dtype),
+                          jnp.arange(wd, dtype=dtype), indexing="ij")
+    grid = jnp.stack([xs, ys], axis=-1)
+    return jnp.broadcast_to(grid[None], (batch, ht, wd, 2))
