@@ -8,14 +8,16 @@ tests against the torch reference also want CPU for determinism.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-
+# Force CPU: the ambient environment pins JAX_PLATFORMS=axon (the real TPU
+# tunnel), but tests run on a virtual 8-device CPU mesh for determinism and
+# sharding coverage. Real-hardware validation happens via bench.py / the
+# verify drives. NOTE: `import pytest` already imports jax (plugin), so env
+# vars are too late here — use jax.config, which applies pre-backend-init.
+os.environ["JAX_PLATFORMS"] = "cpu"          # for any subprocesses
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

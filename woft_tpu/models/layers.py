@@ -141,10 +141,11 @@ def init_norm(norm_fn, channels):
     """Norm params (weight=1, bias=0, running stats identity) — matches the
     reference's constant init (ref:raft_core/extractor.py:153-157)."""
     if norm_fn == "batch":
+        # (num_batches_tracked is intentionally absent: integer leaves are
+        # useless at eval and break jax.grad)
         return {"weight": jnp.ones(channels), "bias": jnp.zeros(channels),
                 "running_mean": jnp.zeros(channels),
-                "running_var": jnp.ones(channels),
-                "num_batches_tracked": jnp.zeros((), jnp.int64)}
+                "running_var": jnp.ones(channels)}
     if norm_fn == "group":
         return {"weight": jnp.ones(channels), "bias": jnp.zeros(channels)}
     return {}

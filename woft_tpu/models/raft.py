@@ -1,0 +1,515 @@
+"""RAFT and WeightedRAFT as functional JAX models (NHWC, lax.scan GRU).
+
+TPU-native rework of ref:raft_core/raft.py, ref:raft_core/weighted_raft.py,
+ref:raft_core/update.py, ref:raft_core/extractor.py. Parameters are nested
+dicts keyed like the torch checkpoints (see models/layers.py) so the ``.pth``
+converter is a pure transpose pass; the forward path is pure-functional and
+jit/vmap/scan-friendly:
+
+- encoders run both frames as one 2B batch (instance norm is per-sample,
+  batch norm uses running stats -> no cross-talk),
+- the 12 GRU refinement iterations are one ``lax.scan`` with the up-mask
+  carried (only the final one is needed in test mode),
+- convex upsampling is an einsum over 3x3 flow patches and softmaxed 8x8
+  sub-pixel weights (exact twin of ref:weighted_raft.py:92-103),
+- the weight head consumes the final correlation lookup reshaped with the
+  reference's channel arithmetic (ref:weighted_raft.py:266-279) plus the
+  mean cost-volume response.
+
+Everything per-frame-pair; batch dim carries multiple targets/streams.
+"""
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.warp import coords_grid, grid_sample, upflow8
+from . import layers
+from .corr import all_pairs_correlation, corr_pyramid, corr_lookup
+
+
+@dataclass(frozen=True)
+class RaftConfig:
+    """Static model configuration (hashable -> usable as a jit static arg).
+
+    Mirrors the reference args (ref:weighted_raft.py:30-76)."""
+    small: bool = False
+    variant: str = "weighted"          # 'orig' | 'weighted' | 'weighted_masked'
+    iters: int = 12
+    corr_levels: int = 4
+    corr_radius: int = 4
+    weight_head_structure: Tuple = ((128, 3), (128, 3), (128, 3))
+    mask_head_structure: Tuple = ()
+    corr_impl: str = "gather"          # 'gather' (XLA) | 'pallas'
+    precision: str = "highest"         # conv/matmul precision
+
+    @property
+    def hidden_dim(self):
+        return 96 if self.small else 128
+
+    @property
+    def context_dim(self):
+        return 64 if self.small else 128
+
+    @property
+    def fnet_dim(self):
+        return 128 if self.small else 256
+
+    @property
+    def radius(self):
+        return 3 if self.small else 4
+
+    @property
+    def lax_precision(self):
+        return jax.lax.Precision(
+            {"highest": "highest", "default": "default",
+             "high": "high"}[self.precision])
+
+
+# ---------------------------------------------------------------------------
+# encoders (ref:raft_core/extractor.py)
+# ---------------------------------------------------------------------------
+
+def _residual_block(p, x, norm_fn, stride):
+    """ref:extractor.py:6-56."""
+    planes = p["conv1"]["weight"].shape[-1]
+    ng = planes // 8
+    y = layers.relu(layers.apply_norm(p.get("norm1", {}),
+                                      layers.conv2d(p["conv1"], x,
+                                                    stride=stride, padding=1),
+                                      norm_fn, ng))
+    y = layers.relu(layers.apply_norm(p.get("norm2", {}),
+                                      layers.conv2d(p["conv2"], y, padding=1),
+                                      norm_fn, ng))
+    if stride != 1:
+        ds = p["downsample"]
+        x = layers.apply_norm(ds.get("1", {}),
+                              layers.conv2d(ds["0"], x, stride=stride),
+                              norm_fn, ng)
+    return layers.relu(x + y)
+
+
+def _bottleneck_block(p, x, norm_fn, stride):
+    """ref:extractor.py:60-116."""
+    planes = p["conv3"]["weight"].shape[-1]
+    ng = planes // 8
+    y = layers.relu(layers.apply_norm(p.get("norm1", {}),
+                                      layers.conv2d(p["conv1"], x),
+                                      norm_fn, ng))
+    y = layers.relu(layers.apply_norm(p.get("norm2", {}),
+                                      layers.conv2d(p["conv2"], y,
+                                                    stride=stride, padding=1),
+                                      norm_fn, ng))
+    y = layers.relu(layers.apply_norm(p.get("norm3", {}),
+                                      layers.conv2d(p["conv3"], y),
+                                      norm_fn, ng))
+    if stride != 1:
+        ds = p["downsample"]
+        x = layers.apply_norm(ds.get("1", {}),
+                              layers.conv2d(ds["0"], x, stride=stride),
+                              norm_fn, ng)
+    return layers.relu(x + y)
+
+
+def encoder_apply(p, x, norm_fn, small=False):
+    """BasicEncoder / SmallEncoder forward (eval mode, no dropout).
+
+    x: (N, H, W, 3) in [-1, 1] -> (N, H/8, W/8, output_dim)."""
+    block = _bottleneck_block if small else _residual_block
+    first_ch = 32 if small else 64
+    x = layers.conv2d(p["conv1"], x, stride=2, padding=3)
+    x = layers.apply_norm(p.get("norm1", {}), x, norm_fn, 8 if norm_fn == "group" else first_ch)
+    x = layers.relu(x)
+    for layer_name, stride in (("layer1", 1), ("layer2", 2), ("layer3", 2)):
+        lp = p[layer_name]
+        x = block(lp["0"], x, norm_fn, stride)
+        x = block(lp["1"], x, norm_fn, 1)
+    return layers.conv2d(p["conv2"], x)
+
+
+# ---------------------------------------------------------------------------
+# update block (ref:raft_core/update.py)
+# ---------------------------------------------------------------------------
+
+def _flow_head(p, x):
+    return layers.conv2d(p["conv2"],
+                         layers.relu(layers.conv2d(p["conv1"], x, padding=1)),
+                         padding=1)
+
+
+def _basic_motion_encoder(p, flow, corr):
+    """ref:update.py:79-97."""
+    cor = layers.relu(layers.conv2d(p["convc1"], corr))
+    cor = layers.relu(layers.conv2d(p["convc2"], cor, padding=1))
+    flo = layers.relu(layers.conv2d(p["convf1"], flow, padding=3))
+    flo = layers.relu(layers.conv2d(p["convf2"], flo, padding=1))
+    out = layers.relu(layers.conv2d(p["conv"],
+                                    jnp.concatenate([cor, flo], -1),
+                                    padding=1))
+    return jnp.concatenate([out, flow], -1)
+
+
+def _small_motion_encoder(p, flow, corr):
+    """ref:update.py:62-77."""
+    cor = layers.relu(layers.conv2d(p["convc1"], corr))
+    flo = layers.relu(layers.conv2d(p["convf1"], flow, padding=3))
+    flo = layers.relu(layers.conv2d(p["convf2"], flo, padding=1))
+    out = layers.relu(layers.conv2d(p["conv"],
+                                    jnp.concatenate([cor, flo], -1),
+                                    padding=1))
+    return jnp.concatenate([out, flow], -1)
+
+
+def _gru_gates(pz, pr, pq, h, x, pad):
+    hx = jnp.concatenate([h, x], -1)
+    z = jax.nn.sigmoid(layers.conv2d(pz, hx, padding=pad))
+    r = jax.nn.sigmoid(layers.conv2d(pr, hx, padding=pad))
+    q = jnp.tanh(layers.conv2d(pq, jnp.concatenate([r * h, x], -1),
+                               padding=pad))
+    return (1 - z) * h + z * q
+
+
+def _sep_conv_gru(p, h, x):
+    """1x5 then 5x1 gated updates (ref:update.py:33-60)."""
+    h = _gru_gates(p["convz1"], p["convr1"], p["convq1"], h, x, (0, 2))
+    h = _gru_gates(p["convz2"], p["convr2"], p["convq2"], h, x, (2, 0))
+    return h
+
+
+def _conv_gru(p, h, x):
+    """3x3 ConvGRU (ref:update.py:16-31)."""
+    return _gru_gates(p["convz"], p["convr"], p["convq"], h, x, 1)
+
+
+def update_block_apply(p, net, inp, corr, flow, small=False):
+    """-> (net, up_mask | None, delta_flow) (ref:update.py:99-136)."""
+    if small:
+        motion = _small_motion_encoder(p["encoder"], flow, corr)
+        net = _conv_gru(p["gru"], net, jnp.concatenate([inp, motion], -1))
+        delta = _flow_head(p["flow_head"], net)
+        return net, None, delta
+    motion = _basic_motion_encoder(p["encoder"], flow, corr)
+    net = _sep_conv_gru(p["gru"], net, jnp.concatenate([inp, motion], -1))
+    delta = _flow_head(p["flow_head"], net)
+    mask = 0.25 * layers.conv2d(p["mask"]["2"],
+                                layers.relu(layers.conv2d(p["mask"]["0"], net,
+                                                          padding=1)))
+    return net, mask, delta
+
+
+# ---------------------------------------------------------------------------
+# convex upsampling (ref:weighted_raft.py:92-103)
+# ---------------------------------------------------------------------------
+
+def convex_upsample(flow, mask, mul=8.0):
+    """Convex-combination x8 upsampling.
+
+    flow: (B, H, W, C); mask: (B, H, W, 9*64) with channel = p*64 + fy*8 + fx
+    (the torch ``view(N, 1, 9, 8, 8, H, W)`` layout). Returns (B, 8H, 8W, C).
+    ``mul`` scales the values (8 for flow; callers divide by 8 for weights,
+    ref:weighted_raft.py:284-290)."""
+    B, H, W, C = flow.shape
+    m = jax.nn.softmax(mask.reshape(B, H, W, 9, 8, 8), axis=3)
+
+    fp = jnp.pad(flow * mul, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    patches = jnp.stack([fp[:, ky:ky + H, kx:kx + W, :]
+                         for ky in range(3) for kx in range(3)],
+                        axis=3)                                   # (B,H,W,9,C)
+    up = jnp.einsum("bhwpc,bhwpfg->bhfwgc", patches, m,
+                    precision=jax.lax.Precision.HIGHEST)
+    return up.reshape(B, 8 * H, 8 * W, C)
+
+
+# ---------------------------------------------------------------------------
+# weight / mask heads (ref:weighted_raft.py:318-422)
+# ---------------------------------------------------------------------------
+
+def _head_convnet(p, x, structure):
+    """Conv stack [(ch, k), ...] + ReLU each, then 1x1 conv to 1 channel.
+
+    Param keys follow torch nn.Sequential numbering with interleaved ReLU:
+    conv i lives at key str(2*i)."""
+    idx = 0
+    for spec in structure:
+        ch, k = spec if isinstance(spec, (tuple, list)) else (spec, 3)
+        x = layers.relu(layers.conv2d(p[str(idx)], x, padding=k // 2))
+        idx += 2
+    return layers.conv2d(p[str(idx)], x)
+
+
+def weight_head_apply(p, corr_sample, mean_response, structure):
+    """Flow-reliability logits from the correlation sample + mean response.
+
+    corr_sample: (B, H1, W1, Kp, Kp, L) — the final lookup's 324 channels
+      split with the reference's (H_patch, W_patch, N_levels) arithmetic
+      (ref:weighted_raft.py:266-272).
+    mean_response: (B, H1, W1) mean of each query's full cost-volume row.
+    Returns (B, H1, W1, 1) logits (ref:weighted_raft.py:347-384)."""
+    B, H1, W1, Kp, _, L = corr_sample.shape
+    x = corr_sample.reshape(B * H1 * W1, Kp, Kp, L)
+    mean = jnp.broadcast_to(mean_response.reshape(B * H1 * W1, 1, 1, 1),
+                            (B * H1 * W1, Kp, Kp, 1))
+    x = jnp.concatenate([x, mean], axis=-1)
+    dense = _head_convnet(p["net"], x, structure)     # (BHW, Kp, Kp, 1)
+    w = jnp.mean(dense, axis=(1, 2))                  # (BHW, 1)
+    return w.reshape(B, H1, W1, 1)
+
+
+def mask_head_apply(p, template_features, current_features, structure):
+    """Visibility-mask logits (ref:weighted_raft.py:387-422)."""
+    x = jnp.concatenate([template_features, current_features], axis=-1)
+    return _head_convnet(p["net"], x, structure)
+
+
+# ---------------------------------------------------------------------------
+# full forward
+# ---------------------------------------------------------------------------
+
+def encode_template(params, cfg: RaftConfig, image1):
+    """Pre-compute the frame-1 features the forward pass needs.
+
+    The tracker's template is fixed for a whole sequence; instance norm is
+    per-sample and batch norm uses running stats, so encoding it separately
+    is numerically identical to the reference's joint 2B-batch encode
+    (ref:weighted_raft.py:204-219) — but saves ~half the encoder FLOPs per
+    tracked frame. Returns (fmap1, net0, inp)."""
+    layers.set_precision(cfg.lax_precision)
+    x1 = 2.0 * (image1 / 255.0) - 1.0
+    hdim, cdim = cfg.hidden_dim, cfg.context_dim
+    fmap1 = encoder_apply(params["fnet"], x1, "instance", cfg.small)
+    cnet = encoder_apply(params["cnet"], x1,
+                         "none" if cfg.small else "batch", cfg.small)
+    net = jnp.tanh(cnet[..., :hdim])
+    inp = jax.nn.relu(cnet[..., hdim:hdim + cdim])
+    return fmap1, net, inp
+
+
+def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
+                          flow_init=None, iters=None, template_feats=None):
+    """Estimate flow (and reliability weights) between two frames.
+
+    Args:
+        params: converted/initialised parameter pytree.
+        cfg: static RaftConfig.
+        image1, image2: (B, H, W, 3) float RGB in [0, 255], H, W % 8 == 0.
+            ``image1`` may be None when ``template_feats`` is given.
+        flow_init: optional (B, H/8, W/8, 2) initial flow.
+        iters: GRU iterations (defaults to cfg.iters).
+        template_feats: optional (fmap1, net0, inp) from ``encode_template``.
+    Returns:
+        dict with 'flow' (B,H/8,W/8,2), 'flow_up' (B,H,W,2) and for weighted
+        variants 'weights' (B,H/8,W/8,1), 'weights_up' (B,H,W,1), plus
+        'mask_up' for 'weighted_masked'; 'mean_response' (B,H/8,W/8).
+    (ref:weighted_raft.py:179-315)
+    """
+    iters = cfg.iters if iters is None else iters
+    layers.set_precision(cfg.lax_precision)
+
+    x2 = 2.0 * (image2 / 255.0) - 1.0
+    B, H, W, _ = x2.shape
+    H1, W1 = H // 8, W // 8
+    hdim, cdim = cfg.hidden_dim, cfg.context_dim
+    radius = cfg.radius
+
+    if template_feats is not None:
+        fmap1, net, inp = template_feats
+        fmap2 = encoder_apply(params["fnet"], x2, "instance", cfg.small)
+    else:
+        x1 = 2.0 * (image1 / 255.0) - 1.0
+        fmaps = encoder_apply(params["fnet"],
+                              jnp.concatenate([x1, x2], axis=0),
+                              "instance", cfg.small)
+        fmap1, fmap2 = fmaps[:B], fmaps[B:]
+        cnet = encoder_apply(params["cnet"], x1,
+                             "none" if cfg.small else "batch", cfg.small)
+        net = jnp.tanh(cnet[..., :hdim])
+        inp = jax.nn.relu(cnet[..., hdim:hdim + cdim])
+
+    corr = all_pairs_correlation(fmap1.astype(jnp.float32),
+                                 fmap2.astype(jnp.float32),
+                                 precision=cfg.lax_precision)
+    pyramid = corr_pyramid(corr, cfg.corr_levels)
+
+    coords0 = coords_grid(B, H1, W1)
+    coords1 = coords0 if flow_init is None else coords0 + flow_init
+
+    up_mask0 = (jnp.zeros((B, H1, W1, 64 * 9), jnp.float32)
+                if not cfg.small else None)
+
+    def step(carry, _):
+        net, coords1, _ = carry
+        corr_feat = corr_lookup(pyramid, coords1, radius)
+        flow = coords1 - coords0
+        net, up_mask, delta = update_block_apply(
+            params["update_block"], net, inp, corr_feat, flow, cfg.small)
+        return (net, coords1 + delta, up_mask), None
+
+    (net, coords1, up_mask), _ = jax.lax.scan(
+        step, (net, coords1, up_mask0), None, length=iters)
+
+    flow = coords1 - coords0
+    if up_mask is None:
+        flow_up = upflow8(flow)
+    else:
+        flow_up = convex_upsample(flow, up_mask)
+
+    out = {"flow": flow, "flow_up": flow_up,
+           "fmap1": fmap1, "fmap2": fmap2}
+
+    if cfg.variant == "orig":
+        return out
+
+    # weight head over the final lookup (ref:weighted_raft.py:258-290)
+    k = 2 * radius + 1
+    corr_final = corr_lookup(pyramid, coords1, radius)    # (B,H1,W1,L*k*k)
+    # the reference's rearrange splits channels as (H_patch, W_patch, levels)
+    corr_sample = corr_final.reshape(B, H1, W1, k, k, cfg.corr_levels)
+    mean_response = jnp.mean(pyramid[0].reshape(B, H1, W1, -1), axis=-1)
+    weights = weight_head_apply(params["weight_head"], corr_sample,
+                                mean_response, cfg.weight_head_structure)
+
+    if up_mask is None:
+        weights_up = upflow8(weights) / 8.0
+    else:
+        weights_up = convex_upsample(weights, up_mask) / 8.0
+
+    out.update(weights=weights, weights_up=weights_up,
+               mean_response=mean_response)
+
+    if cfg.variant == "weighted_masked":
+        warped = grid_sample(fmap2, coords1)              # (B,H1,W1,D)
+        mask = mask_head_apply(params["mask_head"], fmap1, warped,
+                               cfg.mask_head_structure)
+        if up_mask is None:
+            mask_up = upflow8(mask) / 8.0
+        else:
+            mask_up = convex_upsample(mask, up_mask) / 8.0
+        out["mask_up"] = mask_up
+    return out
+
+
+# alias: the 'orig' RAFT is the same forward with variant='orig'
+WeightedRaft = weighted_raft_forward
+
+
+# ---------------------------------------------------------------------------
+# initialisation (random weights with torch-matching structure)
+# ---------------------------------------------------------------------------
+
+def _init_block(key, cin, planes, norm_fn, stride, small):
+    ks = jax.random.split(key, 4)
+    if small:  # bottleneck
+        p = {"conv1": layers.init_conv(ks[0], 1, 1, cin, planes // 4),
+             "conv2": layers.init_conv(ks[1], 3, 3, planes // 4, planes // 4),
+             "conv3": layers.init_conv(ks[2], 1, 1, planes // 4, planes)}
+        if norm_fn in ("batch", "group"):
+            p["norm1"] = layers.init_norm(norm_fn, planes // 4)
+            p["norm2"] = layers.init_norm(norm_fn, planes // 4)
+            p["norm3"] = layers.init_norm(norm_fn, planes)
+    else:
+        p = {"conv1": layers.init_conv(ks[0], 3, 3, cin, planes),
+             "conv2": layers.init_conv(ks[1], 3, 3, planes, planes)}
+        if norm_fn in ("batch", "group"):
+            p["norm1"] = layers.init_norm(norm_fn, planes)
+            p["norm2"] = layers.init_norm(norm_fn, planes)
+    if stride != 1:
+        p["downsample"] = {"0": layers.init_conv(ks[3], 1, 1, cin, planes)}
+        if norm_fn in ("batch", "group"):
+            p["downsample"]["1"] = layers.init_norm(norm_fn, planes)
+    return p
+
+
+def _init_encoder(key, output_dim, norm_fn, small):
+    dims = (32, 32, 64, 96) if small else (64, 64, 96, 128)
+    ks = jax.random.split(key, 8)
+    p = {"conv1": layers.init_conv(ks[0], 7, 7, 3, dims[0], kaiming_out=True)}
+    if norm_fn in ("batch", "group"):
+        p["norm1"] = layers.init_norm(norm_fn, dims[0])
+    cin = dims[0]
+    for i, (name, stride) in enumerate((("layer1", 1), ("layer2", 2),
+                                        ("layer3", 2))):
+        planes = dims[i + 1]
+        p[name] = {"0": _init_block(ks[1 + 2 * i], cin, planes, norm_fn,
+                                    stride, small),
+                   "1": _init_block(ks[2 + 2 * i], planes, planes, norm_fn,
+                                    1, small)}
+        cin = planes
+    p["conv2"] = layers.init_conv(ks[7], 1, 1, cin, output_dim)
+    return p
+
+
+def _init_head(key, structure, cin):
+    p = {}
+    idx = 0
+    for i, spec in enumerate(structure):
+        ch, k = spec if isinstance(spec, (tuple, list)) else (spec, 3)
+        key, sub = jax.random.split(key)
+        p[str(idx)] = layers.init_conv(sub, k, k, cin, ch)
+        cin = ch
+        idx += 2
+    key, sub = jax.random.split(key)
+    p[str(idx)] = layers.init_conv(sub, 1, 1, cin, 1)
+    return {"net": p}
+
+
+def init_raft_params(key, cfg: RaftConfig):
+    """Random parameters with the exact torch checkpoint structure."""
+    ks = jax.random.split(key, 8)
+    hdim, cdim = cfg.hidden_dim, cfg.context_dim
+    cor_planes = cfg.corr_levels * (2 * cfg.radius + 1) ** 2
+
+    params = {
+        "fnet": _init_encoder(ks[0], cfg.fnet_dim, "instance", cfg.small),
+        "cnet": _init_encoder(ks[1], hdim + cdim,
+                              "none" if cfg.small else "batch", cfg.small),
+    }
+    if cfg.small:
+        enc = {"convc1": layers.init_conv(ks[2], 1, 1, cor_planes, 96),
+               "convf1": layers.init_conv(ks[3], 7, 7, 2, 64),
+               "convf2": layers.init_conv(ks[4], 3, 3, 64, 32),
+               "conv": layers.init_conv(ks[5], 3, 3, 128, 80)}
+        gin = hdim + 82 + 64
+        gru = {n: layers.init_conv(k, 3, 3, gin, hdim)
+               for n, k in zip(("convz", "convr", "convq"),
+                               jax.random.split(ks[6], 3))}
+        fh = {"conv1": layers.init_conv(jax.random.fold_in(ks[7], 0),
+                                        3, 3, hdim, 128),
+              "conv2": layers.init_conv(jax.random.fold_in(ks[7], 1),
+                                        3, 3, 128, 2)}
+        params["update_block"] = {"encoder": enc, "gru": gru, "flow_head": fh}
+    else:
+        enc = {"convc1": layers.init_conv(ks[2], 1, 1, cor_planes, 256),
+               "convc2": layers.init_conv(jax.random.fold_in(ks[2], 1),
+                                          3, 3, 256, 192),
+               "convf1": layers.init_conv(ks[3], 7, 7, 2, 128),
+               "convf2": layers.init_conv(ks[4], 3, 3, 128, 64),
+               "conv": layers.init_conv(ks[5], 3, 3, 64 + 192, 126)}
+        gin = 128 + hdim
+        names = ("convz1", "convr1", "convq1", "convz2", "convr2", "convq2")
+        shapes = (((1, 5), (0, 2)),) * 3 + (((5, 1), (2, 0)),) * 3
+        gru = {}
+        for n, ((kh, kw), _), k in zip(names, shapes,
+                                       jax.random.split(ks[6], 6)):
+            gru[n] = layers.init_conv(k, kh, kw, hdim + gin, hdim)
+        fh = {"conv1": layers.init_conv(jax.random.fold_in(ks[7], 0),
+                                        3, 3, hdim, 256),
+              "conv2": layers.init_conv(jax.random.fold_in(ks[7], 1),
+                                        3, 3, 256, 2)}
+        mask = {"0": layers.init_conv(jax.random.fold_in(ks[7], 2),
+                                      3, 3, 128, 256),
+                "2": layers.init_conv(jax.random.fold_in(ks[7], 3),
+                                      1, 1, 256, 64 * 9)}
+        params["update_block"] = {"encoder": enc, "gru": gru,
+                                  "flow_head": fh, "mask": mask}
+
+    if cfg.variant in ("weighted", "weighted_masked"):
+        params["weight_head"] = _init_head(
+            jax.random.fold_in(key, 101), cfg.weight_head_structure,
+            cfg.corr_levels + 1)
+    if cfg.variant == "weighted_masked":
+        params["mask_head"] = _init_head(
+            jax.random.fold_in(key, 102), cfg.mask_head_structure,
+            2 * cfg.fnet_dim)
+    return params

@@ -1,0 +1,407 @@
+"""The WOFT tracker: a pure function over an explicit state pytree.
+
+TPU-native rework of ref:pytracking/tracker/YAOF_tracker_single_control.py.
+The reference's mutable class + dynamic-shape point filtering becomes:
+
+- ``TrackerState``: an immutable pytree (template features, homography
+  history, lost counters) — jit/vmap/scan-able,
+- ``build_track_step``: compiles ``(params, state, frame) ->
+  (state, H_cur2init, meta)`` with the whole per-frame pipeline on device:
+  pre-warp (grid-sampled ``warpPerspective`` twin), WeightedRAFT flow,
+  mask-as-weights TC selection, Sobol-500 gather, weighted QR homography
+  fit, inlier self-check, and the local-flow fallback ladder under
+  ``lax.cond`` (only the taken branch executes at runtime),
+- ``WOFTTracker``: a thin host shell with the reference's
+  ``init``/``track``/``set_fast_meta`` API (numpy in/out, BGR uint8).
+
+Static-shape conversions (SURVEY.md section 7.1/7.4):
+- boolean TC filtering -> validity masks + weight zeroing (exact for the
+  weighted LSq; the plain-LSq ablation passes 0/1 validity as weights,
+  which is exact row removal),
+- Sobol-500 subsampling -> fixed 500-slot gather with duplicate-collapse
+  validity (ops.sampling.masked_sobol_gather),
+- the inlier fraction divides by the count of *valid* points, matching the
+  reference's mean over its dynamically-sized point set
+  (ref:configs/WOFT.py:14-21).
+"""
+
+import logging
+from dataclasses import dataclass
+from types import SimpleNamespace
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry.homography import (
+    compose_h,
+    find_homography_wls_qr,
+    find_homography_irls_qr,
+    irls_huber,
+    proj_errors,
+)
+from ..models.raft import RaftConfig, weighted_raft_forward, encode_template
+from ..ops.pad import make_padder
+from ..ops.sampling import masked_sobol_gather
+from ..ops.warp import warp_perspective
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class TrackerParams:
+    """Static tracker configuration (jit-hashable).
+
+    Field defaults are the canonical WOFT settings
+    (ref:pytracking/configs/YAOFT_single_control_repRAFT_sub500_noreliableinl_wLSq.py)."""
+    subsample_n: int = 500
+    inlier_px: float = 5.0
+    min_inlier_frac: float = 0.2
+    no_prewarp_after_n: int = 10
+    estimator: str = "wls_qr"       # 'wls_qr' | 'irls_huber' | 'plain_qr'
+    irls_k: float = 2.0
+    irls_iters: int = 5
+    redetection: str = "inliers"    # 'inliers' | 'never' | 'always'
+    use_pw_mask: bool = True        # mask TCs by the pre-warp validity region
+    no_local_h: bool = False        # skip the local-flow fallback
+    downscale: int = 0              # host-side input downscale factor
+    padding_mode: str = "nopad"
+
+
+class TrackerState:
+    """Immutable tracker state pytree.
+
+    Fields (all device arrays):
+        template_img: (1, H, W, 3) float RGB template frame.
+        template_feats: (fmap1, net0, inp) pre-encoded template features.
+        template_mask: (H, W) bool target mask.
+        prev_img: (1, H, W, 3) float RGB previous frame.
+        prev_h2init: (3, 3) f32.
+        last_good_h2init: (3, 3) f32.
+        lost: () bool. n_lost: () int32.
+    (ref:YAOF_tracker_single_control.py:40-47)
+    """
+
+    def __init__(self, template_img, template_feats, template_mask, prev_img,
+                 prev_h2init, last_good_h2init, lost, n_lost):
+        self.template_img = template_img
+        self.template_feats = template_feats
+        self.template_mask = template_mask
+        self.prev_img = prev_img
+        self.prev_h2init = prev_h2init
+        self.last_good_h2init = last_good_h2init
+        self.lost = lost
+        self.n_lost = n_lost
+
+    def tree_flatten(self):
+        return ((self.template_img, self.template_feats, self.template_mask,
+                 self.prev_img, self.prev_h2init, self.last_good_h2init,
+                 self.lost, self.n_lost), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    TrackerState,
+    lambda s: s.tree_flatten(),
+    TrackerState.tree_unflatten)
+
+
+def _estimate_h(tp: TrackerParams, pts_a, pts_b, weights, valid):
+    """Fit H mapping pts_a -> pts_b with the configured estimator.
+
+    pts_a/pts_b: (1, N, 2); weights: (1, N) sigmoided reliabilities;
+    valid: (1, N) 0/1 selection."""
+    if tp.estimator == "plain_qr":
+        # plain LSq ablation: 0/1 validity = exact point removal
+        return find_homography_wls_qr(pts_a, pts_b, valid)
+    w = weights * valid
+    if tp.estimator == "irls_huber":
+        return find_homography_irls_qr(
+            pts_a, pts_b, w,
+            reweighting_fn=lambda r: irls_huber(r, k=tp.irls_k),
+            n_iter=tp.irls_iters)
+    return find_homography_wls_qr(pts_a, pts_b, w)
+
+
+def _select_tcs(flow, weights, valid_mask, n):
+    """Dense flow -> fixed-size TC set.
+
+    flow: (1, H, W, 2); weights: (1, H, W, 1) sigmoided; valid_mask: (H*W,)
+    bool. Returns (src (1,n,2), dst (1,n,2), w (1,n), valid (1,n))."""
+    H, W = flow.shape[1:3]
+    hw = H * W
+    xs = (jnp.arange(hw) % W).astype(jnp.float32)
+    ys = (jnp.arange(hw) // W).astype(jnp.float32)
+    src = jnp.stack([xs, ys], axis=-1)                        # (HW, 2)
+    dst = src + flow.reshape(hw, 2)
+    w = weights.reshape(hw)
+
+    idx, sel_valid = masked_sobol_gather(valid_mask, n)
+    g_src = src[idx][None]
+    g_dst = dst[idx][None]
+    g_w = w[idx][None]
+    return g_src, g_dst, g_w, sel_valid[None].astype(jnp.float32)
+
+
+def _success_check(tp: TrackerParams, H, pts_a, pts_b, valid):
+    """Inlier-fraction redetection check (ref:configs/WOFT.py:14-21).
+
+    pts_a/pts_b: (1, N, 2) (H maps a->b); valid: (1, N)."""
+    errs = proj_errors(H, jnp.swapaxes(pts_a, 1, 2),
+                       jnp.swapaxes(pts_b, 1, 2))              # (1, N)
+    inliers = (errs <= tp.inlier_px).astype(jnp.float32) * valid
+    frac = jnp.sum(inliers) / jnp.maximum(jnp.sum(valid), 1.0)
+    if tp.redetection == "never":
+        ok = jnp.asarray(False)
+    elif tp.redetection == "always":
+        ok = jnp.asarray(True)
+    else:
+        ok = frac > tp.min_inlier_frac
+    ok &= jnp.all(jnp.isfinite(H))
+    return ok, frac
+
+
+def build_track_step(raft_cfg: RaftConfig, tp: TrackerParams, flow_fn=None):
+    """Build the jitted per-frame step:
+    ``(params, state, frame) -> (new_state, H_cur2init, meta)``.
+
+    ``frame``: (1, H, W, 3) float RGB in [0, 255]. ``meta`` is a dict of
+    device scalars/matrices mirroring the reference's SimpleNamespace
+    diagnostics (ref:YAOF_tracker_single_control.py:58-285).
+
+    ``flow_fn(params, img1, img2, template_feats) -> (flow (1,H,W,2),
+    weights (1,H,W,1) sigmoided)`` overrides the flow network — the L3 flow
+    abstraction seam (SURVEY.md section 1); tests inject oracle flow here.
+    """
+
+    def default_flow(params, img1, img2, template_feats=None):
+        padder = make_padder(tp.padding_mode, img2.shape)
+        if template_feats is None:
+            p1, p2 = padder.pad(img1, img2)
+            out = weighted_raft_forward(params, raft_cfg, p1, p2)
+        else:
+            (p2,) = padder.pad(img2)
+            out = weighted_raft_forward(params, raft_cfg, None, p2,
+                                        template_feats=template_feats)
+        flow = padder.unpad(out["flow_up"])
+        weights = jax.nn.sigmoid(padder.unpad(out["weights_up"])) \
+            if "weights_up" in out else jnp.ones_like(flow[..., :1])
+        return flow, weights
+
+    run_flow = flow_fn if flow_fn is not None else default_flow
+
+    def step(params, state: TrackerState, frame):
+        H_img, W_img = frame.shape[1:3]
+        hw = H_img * W_img
+
+        # redetection reset (ref:YAOF:78-79)
+        reset = state.n_lost > tp.no_prewarp_after_n
+        last_good = jnp.where(reset, jnp.eye(3, dtype=jnp.float32),
+                              state.last_good_h2init)
+
+        # pre-warp by the last good homography (ref:YAOF:83-96)
+        prewarped = warp_perspective(frame, last_good)
+        pw_valid = warp_perspective(
+            jnp.ones((1, H_img, W_img, 1), jnp.float32), last_good)
+        pw_mask = (pw_valid[0, :, :, 0] > 0)
+
+        # global flow template -> prewarped current (ref:YAOF:98-131)
+        flow, weights = run_flow(params, state.template_img, prewarped,
+                                 state.template_feats)
+
+        # TC validity: template mask + pre-warp region/bounds (ref:YAOF:287-312)
+        dst = (jnp.stack(
+            [(jnp.arange(hw) % W_img).astype(jnp.float32),
+             (jnp.arange(hw) // W_img).astype(jnp.float32)], -1)
+            + flow.reshape(hw, 2))
+        dst_int = jnp.round(dst).astype(jnp.int32)
+        oob = (jnp.any(dst < 0, axis=-1)
+               | (dst_int[:, 0] >= W_img) | (dst_int[:, 1] >= H_img))
+        in_pw = ~oob
+        if tp.use_pw_mask:
+            lookup = pw_mask[jnp.clip(dst_int[:, 1], 0, H_img - 1),
+                             jnp.clip(dst_int[:, 0], 0, W_img - 1)]
+            in_pw &= lookup
+        valid = state.template_mask.reshape(hw) & in_pw
+
+        src_g, dst_g, w_g, sel = _select_tcs(flow, weights, valid,
+                                             tp.subsample_n)
+
+        # weighted fit: current-prewarped -> template (ref:YAOF:151-159)
+        H_pw2init = _estimate_h(tp, dst_g, src_g, w_g, sel)    # (1,3,3)
+        H_global = compose_h(last_good, H_pw2init[0])
+
+        ok, inlier_frac = _success_check(tp, H_pw2init, dst_g, src_g, sel[0:1])
+
+        # local fallback: prev -> current flow chained onto prev_H2init
+        # (ref:YAOF:171-207); lax.cond executes only the taken branch.
+        def local_branch(_):
+            prev_mask = warp_perspective(
+                state.template_mask[None, :, :, None].astype(jnp.float32),
+                jnp.linalg.inv(state.prev_h2init), mode="nearest")
+            lvalid = prev_mask.reshape(hw) > 0
+            lflow, lweights = run_flow(params, state.prev_img, frame)
+            lsrc, ldst, lw, lsel = _select_tcs(lflow, lweights, lvalid,
+                                               tp.subsample_n)
+            H_flow = _estimate_h(tp, ldst, lsrc, lw, lsel)[0]  # cur -> prev
+            H_local = compose_h(state.prev_h2init, H_flow)
+            # solver-failure guard (ref:YAOF:202-204)
+            return jnp.where(jnp.all(jnp.isfinite(H_local)), H_local,
+                             state.prev_h2init)
+
+        if tp.no_local_h:
+            H_cur2init = H_global
+        else:
+            H_cur2init = jax.lax.cond(ok, lambda _: H_global, local_branch,
+                                      operand=None)
+
+        lost = ~ok
+        n_lost = jnp.where(ok, 0, state.n_lost + 1)
+        new_state = TrackerState(
+            template_img=state.template_img,
+            template_feats=state.template_feats,
+            template_mask=state.template_mask,
+            prev_img=frame,
+            prev_h2init=H_cur2init,
+            last_good_h2init=jnp.where(ok, H_cur2init, last_good),
+            lost=lost,
+            n_lost=n_lost)
+
+        meta = {
+            "last_good_H2init": last_good,
+            "H_global_cur2init": H_global,
+            "global_H_success": ok,
+            "inlier_frac": inlier_frac,
+            "lost": lost,
+            "N_lost": n_lost,
+        }
+        return new_state, H_cur2init, meta
+
+    return jax.jit(step, donate_argnums=(1,))
+
+
+def tracker_init_state(params, raft_cfg: RaftConfig, tp: TrackerParams,
+                       template_img, template_mask, encode=True):
+    """Build the initial TrackerState (ref:YAOF:26-47).
+
+    template_img: (1, H, W, 3) float RGB; template_mask: (H, W) bool.
+    ``encode=False`` skips template feature pre-encoding (oracle-flow
+    tests)."""
+    if encode:
+        padder = make_padder(tp.padding_mode, template_img.shape)
+        (padded,) = padder.pad(template_img)
+        feats = encode_template(params, raft_cfg, padded)
+    else:
+        feats = None
+    # distinct buffers everywhere: the state is donated per step and XLA
+    # rejects donating one buffer twice
+    return TrackerState(
+        template_img=template_img,
+        template_feats=feats,
+        template_mask=template_mask,
+        prev_img=jnp.copy(template_img),
+        prev_h2init=jnp.eye(3, dtype=jnp.float32),
+        last_good_h2init=jnp.eye(3, dtype=jnp.float32),
+        lost=jnp.asarray(False),
+        n_lost=jnp.asarray(0, jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# host shell (reference-compatible API)
+# ---------------------------------------------------------------------------
+
+class WOFTTracker:
+    """Host shell with the reference tracker API: numpy BGR in, numpy H out.
+
+    ``config`` is a Config with:
+        flow_config: flow wrapper config (model path, iters, ...),
+        tracker_params: TrackerParams (or None for canonical WOFT),
+        downscale_inputs: optional int.
+    (ref:YAOF_tracker_single_control.py:18-57)
+    """
+
+    def __init__(self, config):
+        self.C = config
+        from ..flow.wrapper import RaftFlow
+        self.flower = RaftFlow(config.flow_config)
+        self.tp = (config.tracker_params
+                   if isinstance(config.tracker_params, TrackerParams)
+                   else TrackerParams(
+                       downscale=int(config.downscale_inputs or 0),
+                       padding_mode=str(config.flow_config.padding_mode
+                                        or "nopad")))
+        self._step = build_track_step(self.flower.cfg, self.tp)
+        self.state = None
+        self._fast_forward = None
+
+    def _prep(self, img_bgr):
+        import cv2
+        if self.tp.downscale:
+            img_bgr = cv2.resize(img_bgr, None, fx=1 / self.tp.downscale,
+                                 fy=1 / self.tp.downscale)
+        rgb = img_bgr[:, :, ::-1].astype(np.float32)
+        return img_bgr, jnp.asarray(rgb)[None]
+
+    def init(self, img, mask, img_identifier=None):
+        import cv2
+        if self.tp.downscale:
+            mask = cv2.resize(mask, None, fx=1 / self.tp.downscale,
+                              fy=1 / self.tp.downscale)
+        img_small, device_img = self._prep(img)
+        self.np_template_mask = np.asarray(mask)
+        contours, _ = cv2.findContours(np.uint8(mask > 0), cv2.RETR_EXTERNAL,
+                                       cv2.CHAIN_APPROX_NONE)
+        assert len(contours) == 1, "template mask must be one blob"
+        self.template_contour = contours[0][:, 0, :].T          # (2, N)
+
+        self.state = tracker_init_state(
+            self.flower.params, self.flower.cfg, self.tp,
+            device_img, jnp.asarray(mask > 0))
+        self._fast_forward = None
+
+    def set_fast_meta(self, meta):
+        """Re-inject a previously computed result (resume support,
+        ref:YAOF:49-55)."""
+        if self.tp.downscale:
+            raise NotImplementedError(
+                "Fast-forward incompatible with input downscaling.")
+        self._fast_forward = meta
+
+    def track(self, input_img, debug=False, img_identifier=None):
+        if self._fast_forward is not None:
+            meta = self._fast_forward
+            H = np.asarray(meta.estim_H_current2template)
+            _, device_img = self._prep(input_img)
+            eye_state = self.state
+            self.state = TrackerState(
+                template_img=eye_state.template_img,
+                template_feats=eye_state.template_feats,
+                template_mask=eye_state.template_mask,
+                prev_img=device_img,
+                prev_h2init=jnp.asarray(H, jnp.float32),
+                last_good_h2init=jnp.asarray(H, jnp.float32),
+                lost=jnp.asarray(False),
+                n_lost=jnp.asarray(0, jnp.int32))
+            self._fast_forward = None
+            return H, meta
+
+        _, device_img = self._prep(input_img)
+        self.state, H_dev, meta_dev = self._step(self.flower.params,
+                                                 self.state, device_img)
+        H = np.asarray(H_dev, np.float64)
+        meta = SimpleNamespace(
+            **{k: np.asarray(v) for k, v in meta_dev.items()})
+        meta.estim_H_current2template = H.copy()
+
+        if self.tp.downscale:
+            # compensate the output H for the input downscale (ref:YAOF:280-283)
+            from ..geometry.homography import np_compose_h
+            s = float(self.tp.downscale)
+            H_down = np.diag([1 / s, 1 / s, 1.0])
+            H_up = np.diag([s, s, 1.0])
+            H = np_compose_h(H_down, np.asarray(H_dev, np.float64), H_up)
+        return H, meta

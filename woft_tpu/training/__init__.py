@@ -1,0 +1,2 @@
+from .synth import synth_homography_batch, random_homography  # noqa: F401
+from .train import TrainConfig, make_train_step, init_train_state  # noqa: F401

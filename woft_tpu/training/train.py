@@ -1,0 +1,109 @@
+"""End-to-end differentiable weight-head training through the WLS solve.
+
+Regenerates the reference's (absent) training capability exactly as its
+configs specify (ref:pytracking/optical_flow/training_configs/
+v2_SNOB_large_g05.py:36-50, v2_SNOB_large_g05_RAFT.py:37-52):
+
+- forward WeightedRAFT on a synthetic pair with known GT homography,
+- tentative correspondences = coords + flow_up, subsampled to ``max_tc``,
+- fit H with the differentiable weighted QR solve using sigmoid(weights_up),
+- loss = mean(clip(reproj_errors(H_gt, H_est, pts), max_loss)),
+- train the weight head only at lr 1e-3 (or the whole net at 1e-5 when
+  ``train_flow``), lr halved per epoch.
+
+``jax.grad`` flows through ``jnp.linalg.qr`` — the very property the torch
+solvers existed for (SURVEY.md section 3.5).
+"""
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..geometry.homography import find_homography_wls_qr, reproj_errors
+from ..models.raft import RaftConfig, weighted_raft_forward
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    max_tc: int = 2000           # ref: max_TC = 2000
+    max_loss: float = 100.0      # ref: max_loss = 100
+    learning_rate: float = 1e-3  # weight-head-only
+    train_flow: bool = False     # fine-tune the whole net (ref lr 1e-5)
+    steps_per_epoch: int = 1000
+    lr_halving: bool = True      # step 0.5 per epoch
+
+
+def _subsample_grid(H, W, n):
+    """Deterministic ~uniform grid of <=n pixel indices (static shapes)."""
+    hw = H * W
+    stride = max(1, hw // n)
+    idx = jnp.arange(0, stride * min(n, hw), stride)[:n]
+    return jnp.clip(idx, 0, hw - 1)
+
+
+def woft_loss(params, cfg: RaftConfig, tcfg: TrainConfig, batch):
+    """Reprojection loss through the differentiable homography fit."""
+    out = weighted_raft_forward(params, cfg, batch["img1"], batch["img2"])
+    flow = out["flow_up"]                              # (B, H, W, 2)
+    weights = jax.nn.sigmoid(out["weights_up"])        # (B, H, W, 1)
+    B, H, W, _ = flow.shape
+
+    idx = _subsample_grid(H, W, tcfg.max_tc)           # (n,)
+    xs = (idx % W).astype(jnp.float32)
+    ys = (idx // W).astype(jnp.float32)
+    src = jnp.broadcast_to(jnp.stack([xs, ys], -1)[None],
+                           (B, idx.shape[0], 2))       # (B, n, 2)
+    dflow = flow.reshape(B, H * W, 2)[:, idx]
+    dst = src + dflow
+    w = weights.reshape(B, H * W)[:, idx]
+
+    h_est = find_homography_wls_qr(src, dst, w)        # (B, 3, 3)
+    pts = jnp.swapaxes(src, 1, 2)                      # (B, 2, n)
+    errs = reproj_errors(batch["h_gt"], h_est, pts)    # (B, n)
+    return jnp.mean(jnp.clip(errs, 0.0, tcfg.max_loss))
+
+
+def _trainable_mask(params, train_flow):
+    """Label pytree leaves trainable/frozen (weight-head-only by default)."""
+    def mark(path_has_head, node):
+        if isinstance(node, dict):
+            return {k: mark(path_has_head or k in ("weight_head", "mask_head"),
+                            v) for k, v in node.items()}
+        return "trainable" if (train_flow or path_has_head) else "frozen"
+
+    return mark(False, params)
+
+
+def make_optimizer(params, tcfg: TrainConfig):
+    lr = tcfg.learning_rate if not tcfg.train_flow else 1e-5
+    if tcfg.lr_halving:
+        schedule = optax.exponential_decay(
+            lr, transition_steps=tcfg.steps_per_epoch, decay_rate=0.5,
+            staircase=True)
+    else:
+        schedule = lr
+    tx = optax.multi_transform(
+        {"trainable": optax.adamw(schedule), "frozen": optax.set_to_zero()},
+        _trainable_mask(params, tcfg.train_flow))
+    return tx
+
+
+def init_train_state(params, tcfg: TrainConfig):
+    tx = make_optimizer(params, tcfg)
+    return tx, tx.init(params)
+
+
+def make_train_step(cfg: RaftConfig, tcfg: TrainConfig, tx):
+    """One SGD step: (params, opt_state, batch) -> (params, opt_state, loss).
+
+    Pure function — shard/jit it however the caller's mesh demands."""
+
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(woft_loss)(params, cfg, tcfg, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step

@@ -1,0 +1,115 @@
+"""Visualization helpers (host side, cv2/numpy).
+
+Covers the reference surfaces the demo and debug paths use
+(ref:pytracking/utils/vis_utils.py): mask contour blending, colormaps,
+magenta/green alignment blends, flow-arrow rendering, Middlebury flow
+colouring, and simple grid tiling.
+"""
+
+import numpy as np
+
+
+def blend_mask(img, mask, color=(0, 255, 0), alpha=0.5, fill=True,
+               contour_thickness=None):
+    """Blend a binary mask into an image; optionally only its contour
+    (ref:vis_utils.py:593-621)."""
+    import cv2
+    out = img.copy()
+    binary = np.uint8(mask > 0)
+    if fill:
+        overlay = out.copy()
+        overlay[binary > 0] = color
+        out = cv2.addWeighted(overlay, alpha, out, 1 - alpha, 0)
+    if contour_thickness is not None:
+        contours, _ = cv2.findContours(binary, cv2.RETR_EXTERNAL,
+                                       cv2.CHAIN_APPROX_NONE)
+        cv2.drawContours(out, contours, -1, color, contour_thickness)
+    return out
+
+
+def cv2_colormap(values, vmin=None, vmax=None, colormap=None):
+    """Map scalars to BGR colors (ref:vis_utils.py:177-197)."""
+    import cv2
+    colormap = cv2.COLORMAP_VIRIDIS if colormap is None else colormap
+    v = np.asarray(values, np.float32)
+    vmin = np.nanmin(v) if vmin is None else vmin
+    vmax = np.nanmax(v) if vmax is None else vmax
+    scaled = np.clip((v - vmin) / max(vmax - vmin, 1e-12), 0, 1)
+    return cv2.applyColorMap(np.uint8(255 * scaled), colormap)
+
+
+def vis_alignment_plain(img_a, img_b):
+    """Magenta/green alignment blend (ref:vis_utils.py:214-234)."""
+    import cv2
+    a = cv2.cvtColor(img_a, cv2.COLOR_BGR2GRAY)
+    b = cv2.cvtColor(img_b, cv2.COLOR_BGR2GRAY)
+    return np.dstack([b, a, b])     # BGR: a -> green, b -> magenta
+
+
+def draw_text(img, text, pos="tl", size=1.0, thickness=2,
+              color=(255, 255, 255)):
+    import cv2
+    h = img.shape[0]
+    xy = {"tl": (10, 30), "bl": (10, h - 10)}[pos]
+    cv2.putText(img, text, xy, cv2.FONT_HERSHEY_SIMPLEX, size, (0, 0, 0),
+                thickness + 2)
+    cv2.putText(img, text, xy, cv2.FONT_HERSHEY_SIMPLEX, size, color,
+                thickness)
+    return img
+
+
+def vis_flow_arrows(flow, canvas, grid_sz=20, color=(0, 255, 0),
+                    weights=None):
+    """Sparse flow arrows on a canvas, optionally weight-coloured
+    (ref:vis_utils.py:702-928, simplified)."""
+    import cv2
+    H, W = flow.shape[:2]
+    out = canvas.copy()
+    for y in range(grid_sz // 2, H, grid_sz):
+        for x in range(grid_sz // 2, W, grid_sz):
+            dx, dy = flow[y, x]
+            if weights is not None:
+                w = float(np.clip(weights[y, x], 0, 1))
+                c = (int(255 * (1 - w)), int(255 * w), 0)
+            else:
+                c = color
+            cv2.arrowedLine(out, (x, y), (int(x + dx), int(y + dy)), c, 1,
+                            tipLength=0.3)
+    return out
+
+
+def flow_to_image(flow, clip_flow=None):
+    """Middlebury/Baker flow colour wheel (ref:raft_core/utils/flow_viz.py),
+    re-derived: hue = direction, saturation = magnitude."""
+    u = flow[..., 0].astype(np.float32)
+    v = flow[..., 1].astype(np.float32)
+    if clip_flow is not None:
+        u = np.clip(u, -clip_flow, clip_flow)
+        v = np.clip(v, -clip_flow, clip_flow)
+    rad = np.sqrt(u ** 2 + v ** 2)
+    rad_max = max(np.max(rad), 1e-5)
+    import cv2
+    ang = (np.arctan2(-v, -u) / np.pi + 1) * 90          # 0..180
+    hsv = np.stack([ang.astype(np.uint8),
+                    np.uint8(255 * np.clip(rad / rad_max, 0, 1)),
+                    np.full_like(ang, 255, dtype=np.uint8)], axis=-1)
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+
+
+def checkerboard(h, w, sq=8):
+    """(ref:vis_utils.py:931-941)."""
+    ys, xs = np.mgrid[0:h, 0:w]
+    return np.uint8(255 * (((ys // sq) + (xs // sq)) % 2))
+
+
+def griddify(images, cols):
+    """Tile images into a grid (ref:vis_utils.py:434-504, simplified)."""
+    import math
+    rows = math.ceil(len(images) / cols)
+    h = max(im.shape[0] for im in images)
+    w = max(im.shape[1] for im in images)
+    canvas = np.zeros((rows * h, cols * w, 3), np.uint8)
+    for i, im in enumerate(images):
+        r, c = divmod(i, cols)
+        canvas[r * h:r * h + im.shape[0], c * w:c * w + im.shape[1]] = im
+    return canvas
