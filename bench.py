@@ -54,14 +54,15 @@ def main():
     frames = [jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)), jnp.float32)
               for _ in range(4)]
 
-    # warmup / compile
+    # warmup / compile (np.asarray forces a real device round-trip:
+    # block_until_ready is unreliable through tunneled backends)
     state, h, meta = step(params, state, frames[0])
-    jax.block_until_ready(h)
+    _ = np.asarray(h)
 
     t0 = time.perf_counter()
     for i in range(n_frames):
         state, h, meta = step(params, state, frames[i % len(frames)])
-    jax.block_until_ready(h)
+    _ = np.asarray(h)   # steps chain through state: this forces all of them
     dt = time.perf_counter() - t0
 
     fps = n_frames / dt

@@ -1,0 +1,96 @@
+"""Multi-device tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from woft_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from woft_tpu.parallel.sharding import (
+    sharded_train_step,
+    sharded_track_batch,
+    spatial_sharded_correlation,
+)
+from woft_tpu.models.raft import RaftConfig, init_raft_params
+from woft_tpu.models.corr import all_pairs_correlation
+from woft_tpu.tracker import TrackerParams, tracker_init_state
+from woft_tpu.training.synth import synth_homography_batch
+from woft_tpu.training.train import TrainConfig, init_train_state
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8, sp=2)
+    assert dict(mesh.shape) == {"dp": 4, "sp": 2}
+
+
+def test_spatial_sharded_correlation_matches_single():
+    rng = np.random.default_rng(0)
+    f1 = jnp.asarray(rng.normal(size=(1, 8, 16, 32)), jnp.float32)
+    f2 = jnp.asarray(rng.normal(size=(1, 8, 16, 32)), jnp.float32)
+    ref = np.asarray(all_pairs_correlation(f1, f2))
+    mesh = make_mesh(8, sp=2)
+    out = np.asarray(spatial_sharded_correlation(mesh, f1, f2))
+    assert np.allclose(out, ref, atol=1e-5)
+
+
+def test_sharded_train_step_runs_and_reduces():
+    mesh = make_mesh(8, sp=2)
+    cfg = RaftConfig(variant="weighted", iters=1, precision="default")
+    tcfg = TrainConfig(max_tc=128)
+    params = init_raft_params(jax.random.PRNGKey(0), cfg)
+    tx, opt_state = init_train_state(params, tcfg)
+
+    images = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 64, 3),
+                                minval=0.0, maxval=255.0)
+    batch = synth_homography_batch(jax.random.PRNGKey(2), images)
+
+    # snapshot before the step: donation may consume aliased CPU buffers
+    wh0 = np.array(jax.tree.leaves(params["weight_head"])[0])
+    f0 = np.array(params["fnet"]["conv1"]["weight"])
+
+    with mesh:
+        params_r = replicate(mesh, params)
+        opt_r = replicate(mesh, opt_state)
+        batch_s = shard_batch(mesh, batch, spatial_axis=2)
+        step = sharded_train_step(mesh, cfg, tcfg, tx)
+        params2, opt2, loss = step(params_r, opt_r, batch_s)
+    loss = float(loss)
+    assert np.isfinite(loss)
+    # weight head must have moved; frozen backbone must not
+    wh1 = np.asarray(jax.tree.leaves(params2["weight_head"])[0])
+    assert not np.allclose(wh0, wh1)
+    f1 = np.asarray(params2["fnet"]["conv1"]["weight"])
+    assert np.array_equal(f0, f1)
+
+
+def test_sharded_track_batch_eight_streams():
+    """8 independent streams, dp-sharded; identity flow oracle."""
+    H_IMG, W_IMG = 48, 64
+
+    def identity_flow(params, img1, img2, template_feats=None):
+        return (jnp.zeros((1, H_IMG, W_IMG, 2)),
+                jnp.ones((1, H_IMG, W_IMG, 1)))
+
+    mesh = make_mesh(8, sp=1)
+    cfg = RaftConfig(variant="weighted", iters=1)
+    tp = TrackerParams(padding_mode="nopad", no_local_h=True)
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.uniform(0, 255, (8, 1, H_IMG, W_IMG, 3)),
+                         jnp.float32)
+    mask = np.zeros((H_IMG, W_IMG), bool)
+    mask[12:36, 16:48] = True
+
+    states = [tracker_init_state({}, cfg, tp, frames[i],
+                                 jnp.asarray(mask), encode=False)
+              for i in range(8)]
+    batched_states = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    with mesh:
+        step = sharded_track_batch(mesh, cfg, tp, flow_fn=identity_flow)
+        new_states, hs, metas = step({}, batched_states, frames)
+    hs = np.asarray(hs)
+    assert hs.shape == (8, 3, 3)
+    for b in range(8):
+        assert np.allclose(hs[b], np.eye(3), atol=1e-3)
+    assert np.asarray(metas["global_H_success"]).all()

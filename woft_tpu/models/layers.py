@@ -21,15 +21,19 @@ import jax.numpy as jnp
 # Precision for convolutions / matmuls. 'highest' gives fp32 MXU passes for
 # parity; bench configs may relax this module-wide.
 _PRECISION = jax.lax.Precision.HIGHEST
+# When set (jnp.bfloat16), conv inputs/kernels are cast to it and the MXU
+# runs native bf16 passes with f32 accumulation (outputs stay f32).
+_COMPUTE_DTYPE = None
 
 
-def set_precision(precision):
+def set_precision(precision, compute_dtype=None):
     """Set module-wide conv/dot precision ('highest' for parity, 'default'
-    to let the MXU use bf16 passes)."""
-    global _PRECISION
+    to let the MXU use bf16 passes) and optional bf16 compute dtype."""
+    global _PRECISION, _COMPUTE_DTYPE
     _PRECISION = (jax.lax.Precision(precision)
                   if not isinstance(precision, jax.lax.Precision)
                   else precision)
+    _COMPUTE_DTYPE = compute_dtype
 
 
 def get_precision():
@@ -50,6 +54,7 @@ def conv2d(p, x, stride=1, padding=0, dtype=None):
     if isinstance(padding, int):
         padding = (padding, padding)
     w = p["weight"]
+    dtype = dtype if dtype is not None else _COMPUTE_DTYPE
     if dtype is not None:
         w = w.astype(dtype)
         x = x.astype(dtype)
@@ -58,7 +63,8 @@ def conv2d(p, x, stride=1, padding=0, dtype=None):
         window_strides=stride,
         padding=((padding[0], padding[0]), (padding[1], padding[1])),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=_PRECISION)
+        precision=_PRECISION,
+        preferred_element_type=jnp.float32)
     if "bias" in p and p["bias"] is not None:
         out = out + p["bias"].astype(out.dtype)
     return out

@@ -42,8 +42,8 @@ class RaftConfig:
     corr_radius: int = 4
     weight_head_structure: Tuple = ((128, 3), (128, 3), (128, 3))
     mask_head_structure: Tuple = ()
-    corr_impl: str = "gather"          # 'gather' (XLA) | 'pallas'
-    precision: str = "highest"         # conv/matmul precision
+    corr_impl: str = "onehot"          # 'onehot' | 'gather' | 'pallas'
+    precision: str = "highest"         # 'highest' | 'default' | 'bf16' 
 
     @property
     def hidden_dim(self):
@@ -64,8 +64,13 @@ class RaftConfig:
     @property
     def lax_precision(self):
         return jax.lax.Precision(
-            {"highest": "highest", "default": "default",
-             "high": "high"}[self.precision])
+            {"highest": "highest", "default": "default", "high": "high",
+             "bf16": "default"}[self.precision])
+
+    @property
+    def compute_dtype(self):
+        # 'bf16': cast conv inputs/kernels to bf16 (f32 accumulation)
+        return jnp.bfloat16 if self.precision == "bf16" else None
 
 
 # ---------------------------------------------------------------------------
@@ -275,7 +280,7 @@ def encode_template(params, cfg: RaftConfig, image1):
     is numerically identical to the reference's joint 2B-batch encode
     (ref:weighted_raft.py:204-219) — but saves ~half the encoder FLOPs per
     tracked frame. Returns (fmap1, net0, inp)."""
-    layers.set_precision(cfg.lax_precision)
+    layers.set_precision(cfg.lax_precision, cfg.compute_dtype)
     x1 = 2.0 * (image1 / 255.0) - 1.0
     hdim, cdim = cfg.hidden_dim, cfg.context_dim
     fmap1 = encoder_apply(params["fnet"], x1, "instance", cfg.small)
@@ -305,7 +310,7 @@ def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
     (ref:weighted_raft.py:179-315)
     """
     iters = cfg.iters if iters is None else iters
-    layers.set_precision(cfg.lax_precision)
+    layers.set_precision(cfg.lax_precision, cfg.compute_dtype)
 
     x2 = 2.0 * (image2 / 255.0) - 1.0
     B, H, W, _ = x2.shape
@@ -332,6 +337,21 @@ def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
                                  precision=cfg.lax_precision)
     pyramid = corr_pyramid(corr, cfg.corr_levels)
 
+    if cfg.corr_impl == "pallas":
+        from ..ops.pallas.corr_lookup import pad_pyramid, fused_corr_lookup
+        padded = pad_pyramid(pyramid, radius)
+
+        def lookup(coords):
+            return fused_corr_lookup(padded, coords, radius=radius)
+    else:
+        # at relaxed precision, stream/select the volume in bf16: halves
+        # HBM traffic and takes the fast MXU path in the one-hot selection
+        if cfg.precision in ("default", "bf16") and cfg.corr_impl == "onehot":
+            pyramid = [p.astype(jnp.bfloat16) for p in pyramid]
+
+        def lookup(coords):
+            return corr_lookup(pyramid, coords, radius, impl=cfg.corr_impl)
+
     coords0 = coords_grid(B, H1, W1)
     coords1 = coords0 if flow_init is None else coords0 + flow_init
 
@@ -340,7 +360,7 @@ def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
 
     def step(carry, _):
         net, coords1, _ = carry
-        corr_feat = corr_lookup(pyramid, coords1, radius)
+        corr_feat = lookup(coords1)
         flow = coords1 - coords0
         net, up_mask, delta = update_block_apply(
             params["update_block"], net, inp, corr_feat, flow, cfg.small)
@@ -363,10 +383,11 @@ def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
 
     # weight head over the final lookup (ref:weighted_raft.py:258-290)
     k = 2 * radius + 1
-    corr_final = corr_lookup(pyramid, coords1, radius)    # (B,H1,W1,L*k*k)
+    corr_final = lookup(coords1)                          # (B,H1,W1,L*k*k)
     # the reference's rearrange splits channels as (H_patch, W_patch, levels)
     corr_sample = corr_final.reshape(B, H1, W1, k, k, cfg.corr_levels)
-    mean_response = jnp.mean(pyramid[0].reshape(B, H1, W1, -1), axis=-1)
+    # mean over the f32 level-0 rows (not the possibly-bf16 lookup copy)
+    mean_response = jnp.mean(corr.reshape(B, H1, W1, -1), axis=-1)
     weights = weight_head_apply(params["weight_head"], corr_sample,
                                 mean_response, cfg.weight_head_structure)
 

@@ -132,6 +132,40 @@ def warp_perspective(img, H, out_shape=None, mode="bilinear"):
     return grid_sample(img, coords, mode="bilinear")
 
 
+def warp_validity_mask(H, src_hw, out_shape=None):
+    """Analytic twin of ``cv2.warpPerspective(ones, H) > 0``.
+
+    A warped all-ones image is positive wherever ANY bilinear corner of the
+    back-projected sample lies inside the source, i.e. the source coordinate
+    is in (-1, W) x (-1, H). Pure coordinate math — no image gathers
+    (the tracker's pre-warp mask, ref:YAOF_tracker_single_control.py:92-95).
+
+    Args:
+        H: (3, 3) or (N, 3, 3) forward homography (src -> dst).
+        src_hw: (src_h, src_w).
+        out_shape: optional (out_h, out_w); defaults to src_hw.
+    Returns:
+        (N, out_h, out_w) bool.
+    """
+    if H.ndim == 2:
+        H = H[None]
+    src_h, src_w = src_hw
+    out_h, out_w = out_shape if out_shape is not None else src_hw
+    Hinv = jnp.linalg.inv(H.astype(jnp.float32))
+    ys, xs = jnp.meshgrid(jnp.arange(out_h, dtype=jnp.float32),
+                          jnp.arange(out_w, dtype=jnp.float32),
+                          indexing="ij")
+    dst = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1).reshape(-1, 3)
+    src = jnp.einsum('nij,pj->npi', Hinv, dst,
+                     precision=jax.lax.Precision.HIGHEST)
+    z = src[..., 2:3]
+    sxy = src[..., :2] / jnp.where(jnp.abs(z) < 1e-12,
+                                   jnp.where(z < 0, -1e-12, 1e-12), z)
+    ok = ((sxy[..., 0] > -1.0) & (sxy[..., 0] < src_w)
+          & (sxy[..., 1] > -1.0) & (sxy[..., 1] < src_h))
+    return ok.reshape(H.shape[0], out_h, out_w)
+
+
 def upsample2d_align_corners(x, out_hw):
     """Bilinear resize with torch ``align_corners=True`` semantics.
 

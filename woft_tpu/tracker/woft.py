@@ -44,7 +44,7 @@ from ..geometry.homography import (
 from ..models.raft import RaftConfig, weighted_raft_forward, encode_template
 from ..ops.pad import make_padder
 from ..ops.sampling import masked_sobol_gather
-from ..ops.warp import warp_perspective
+from ..ops.warp import warp_perspective, warp_validity_mask
 
 logger = logging.getLogger(__name__)
 
@@ -203,11 +203,10 @@ def build_track_step(raft_cfg: RaftConfig, tp: TrackerParams, flow_fn=None):
         last_good = jnp.where(reset, jnp.eye(3, dtype=jnp.float32),
                               state.last_good_h2init)
 
-        # pre-warp by the last good homography (ref:YAOF:83-96)
+        # pre-warp by the last good homography (ref:YAOF:83-96);
+        # the validity mask is analytic (no second warp)
         prewarped = warp_perspective(frame, last_good)
-        pw_valid = warp_perspective(
-            jnp.ones((1, H_img, W_img, 1), jnp.float32), last_good)
-        pw_mask = (pw_valid[0, :, :, 0] > 0)
+        pw_mask = warp_validity_mask(last_good, (H_img, W_img))[0]
 
         # global flow template -> prewarped current (ref:YAOF:98-131)
         flow, weights = run_flow(params, state.template_img, prewarped,
@@ -343,7 +342,11 @@ class WOFTTracker:
         if self.tp.downscale:
             img_bgr = cv2.resize(img_bgr, None, fx=1 / self.tp.downscale,
                                  fy=1 / self.tp.downscale)
-        rgb = img_bgr[:, :, ::-1].astype(np.float32)
+        try:                     # fused native channel-swap + f32 convert
+            import woft_native
+            rgb = woft_native.bgr_to_rgb_f32(np.ascontiguousarray(img_bgr))
+        except ImportError:
+            rgb = img_bgr[:, :, ::-1].astype(np.float32)
         return img_bgr, jnp.asarray(rgb)[None]
 
     def init(self, img, mask, img_identifier=None):
