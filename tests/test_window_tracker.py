@@ -1,0 +1,104 @@
+"""Device-resident window tracker: transform-chain and smoke tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from woft_tpu.models.raft import RaftConfig
+from woft_tpu.tracker import TrackerParams
+from woft_tpu.tracker.window_step import (
+    WindowParams,
+    build_window_track_step,
+    window_init_state,
+)
+
+H_IMG, W_IMG = 96, 128
+S = 64
+
+
+@pytest.fixture(scope="module")
+def frame_and_mask():
+    rng = np.random.default_rng(0)
+    frame = jnp.asarray(rng.uniform(0, 255, (1, H_IMG, W_IMG, 3)),
+                        jnp.float32)
+    mask = np.zeros((H_IMG, W_IMG), bool)
+    mask[30:70, 40:100] = True
+    return frame, mask
+
+
+def zero_flow(params, img1, img2, template_feats=None):
+    return (jnp.zeros((1, S, S, 2)), jnp.ones((1, S, S, 1)))
+
+
+def test_zero_flow_identity_roundtrip(frame_and_mask):
+    """With exact-zero window flow, the conjugation chain must return the
+    prior exactly: H stays identity regardless of crop choice."""
+    frame, mask = frame_and_mask
+    cfg = RaftConfig(variant="weighted", iters=1)
+    tp = TrackerParams(padding_mode="nopad", no_local_h=True)
+    wp = WindowParams(size=S, margin=0.4, min_px=20)
+
+    state = window_init_state({}, cfg, tp, wp, frame,
+                              jnp.asarray(mask), encode=False)
+    step = build_window_track_step(cfg, tp, wp, flow_fn=zero_flow)
+
+    for _ in range(3):
+        state, h, meta = step({}, state, frame)
+        assert np.allclose(np.asarray(h), np.eye(3), atol=2e-3), np.asarray(h)
+        assert bool(np.asarray(meta["global_H_success"]))
+
+
+def test_known_translation(frame_and_mask):
+    """Window flow consistent with a pure translation must recover it.
+
+    Build the oracle in window coordinates from the true full-frame H and
+    the crops the step chooses (provided via closure capture of the meta)."""
+    frame, mask = frame_and_mask
+    cfg = RaftConfig(variant="weighted", iters=1)
+    tp = TrackerParams(padding_mode="nopad", no_local_h=True)
+    wp = WindowParams(size=S, margin=0.4, min_px=20)
+
+    # true motion: shift by (3, -2): H_cur2init maps cur -> init
+    h_true = np.array([[1, 0, 3.0], [0, 1, -2.0], [0, 0, 1]], np.float32)
+
+    from woft_tpu.ops.warp import warp_perspective
+    frame2 = warp_perspective(frame, jnp.asarray(np.linalg.inv(h_true)))
+
+    captured = {}
+
+    def oracle_flow(params, img1, img2, template_feats=None):
+        # img2 is the pre-warped current window; the residual mapping to
+        # the template window is h_pw2tmpl = h_tmpl_crop H_true
+        # inv(h_crop) inv(h_prior). Compute the flow it implies.
+        h_res = captured["h_residual"]                    # (3,3)
+        xs = (jnp.arange(S * S) % S).astype(jnp.float32)
+        ys = (jnp.arange(S * S) // S).astype(jnp.float32)
+        pts = jnp.stack([xs, ys, jnp.ones(S * S)], axis=0)
+        # flow maps template-window pixels to pre-warped-current pixels:
+        # the inverse of the residual
+        proj = jnp.linalg.inv(h_res) @ pts
+        proj = proj[:2] / proj[2:]
+        flow = (proj - pts[:2]).T.reshape(1, S, S, 2)
+        return flow, jnp.ones((1, S, S, 1))
+
+    state = window_init_state({}, cfg, tp, wp, frame,
+                              jnp.asarray(mask), encode=False)
+    h_tmpl_crop = np.asarray(state["h_tmpl_crop"])
+
+    # pre-compute what the step will choose: replicate its crop+prior math
+    from woft_tpu.tracker.window_step import _search_crop_h
+    h_crop = np.asarray(_search_crop_h(jnp.eye(3), state["tmpl_corners"],
+                                       (H_IMG, W_IMG), wp))
+    h_prior = h_tmpl_crop @ np.eye(3) @ np.linalg.inv(h_crop)
+    h_prior /= h_prior[2, 2]
+    h_win_true = h_tmpl_crop @ h_true @ np.linalg.inv(h_crop)
+    h_res = h_win_true @ np.linalg.inv(h_prior)
+    captured["h_residual"] = jnp.asarray((h_res / h_res[2, 2]).astype(
+        np.float32))
+
+    step = build_window_track_step(cfg, tp, wp, flow_fn=oracle_flow)
+    state, h, meta = step({}, state, frame2)
+    h = np.asarray(h)
+    assert np.allclose(h, h_true, atol=5e-3), h
+    assert bool(np.asarray(meta["global_H_success"]))

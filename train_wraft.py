@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Train the WeightedRAFT weight head on synthetic homography pairs.
+
+Regenerates the reference's absent trainer (named in
+ref:optical_flow/training_configs/v2_SNOB_large_g05.py:39-41): images from a
+directory (any corpus — COCO, video frames) are warped by random
+homographies on device; the weight head trains end-to-end through the
+differentiable weighted-QR homography fit with the clipped reprojection
+loss. ``--train-flow`` fine-tunes the whole network at lr 1e-5.
+
+Example:
+    python train_wraft.py --images /data/coco --size 288x384 --batch 8 \
+        --steps 2000 --out weights/wraft_tpu
+"""
+
+import argparse
+import glob
+import logging
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def parse_args():
+    p = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("--images", type=Path, required=True,
+                   help="directory of training images (jpg/png)")
+    p.add_argument("--size", default="288x384", help="train crop HxW (/8)")
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--steps-per-epoch", type=int, default=500,
+                   help="lr halves every epoch (ref schedule)")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--train-flow", action="store_true",
+                   help="fine-tune the whole net at lr 1e-5")
+    p.add_argument("--iters", type=int, default=12)
+    p.add_argument("--init", type=Path,
+                   help="torch .pth or orbax checkpoint to start from")
+    p.add_argument("--out", type=Path, default=Path("weights/wraft_tpu"))
+    p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel devices (0 = single device)")
+    return p.parse_args()
+
+
+def image_stream(paths, hw, batch, rng):
+    """Host-side decode + random-crop batcher."""
+    import cv2
+    H, W = hw
+    while True:
+        imgs = []
+        while len(imgs) < batch:
+            path = paths[rng.integers(len(paths))]
+            img = cv2.imread(str(path))
+            if img is None or img.shape[0] < H or img.shape[1] < W:
+                continue
+            y = rng.integers(img.shape[0] - H + 1)
+            x = rng.integers(img.shape[1] - W + 1)
+            crop = img[y:y + H, x:x + W, ::-1].astype(np.float32)
+            imgs.append(crop)
+        yield np.stack(imgs)
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO,
+                        format="[%(asctime)s] %(levelname)s:%(message)s")
+
+    import jax
+    import jax.numpy as jnp
+    from woft_tpu.models.raft import RaftConfig, init_raft_params
+    from woft_tpu.models.checkpoint import save_checkpoint
+    from woft_tpu.training.synth import synth_homography_batch
+    from woft_tpu.training.train import (TrainConfig, init_train_state,
+                                         make_train_step)
+
+    H, W = (int(v) for v in args.size.split("x"))
+    assert H % 8 == 0 and W % 8 == 0
+
+    cfg = RaftConfig(variant="weighted", iters=args.iters,
+                     precision="default")
+    tcfg = TrainConfig(learning_rate=args.lr, train_flow=args.train_flow,
+                       steps_per_epoch=args.steps_per_epoch)
+
+    params = init_raft_params(jax.random.PRNGKey(args.seed), cfg)
+    if args.init:
+        if str(args.init).endswith((".pth", ".pt")):
+            from woft_tpu.models.convert import load_torch_checkpoint
+            params = load_torch_checkpoint(str(args.init), params,
+                                           non_strict=True)
+        else:
+            from woft_tpu.models.checkpoint import load_checkpoint
+            params = load_checkpoint(args.init, like=params)
+
+    tx, opt_state = init_train_state(params, tcfg)
+
+    if args.dp > 1:
+        from woft_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+        from woft_tpu.parallel.sharding import sharded_train_step
+        mesh = make_mesh(args.dp, sp=1)
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
+        step = sharded_train_step(mesh, cfg, tcfg, tx)
+
+        def prep(batch):
+            return shard_batch(mesh, batch)
+    else:
+        step = jax.jit(make_train_step(cfg, tcfg, tx),
+                       donate_argnums=(0, 1))
+        prep = lambda b: b  # noqa: E731
+
+    paths = sorted(sum((glob.glob(str(args.images / f"*.{e}"))
+                        for e in ("jpg", "jpeg", "png")), []))
+    if not paths:
+        raise SystemExit(f"no images under {args.images}")
+    logger.info("%d training images", len(paths))
+
+    rng = np.random.default_rng(args.seed)
+    stream = image_stream(paths, (H, W), args.batch, rng)
+    key = jax.random.PRNGKey(args.seed + 1)
+
+    t0 = time.time()
+    for i in range(args.steps):
+        key, sub = jax.random.split(key)
+        batch = synth_homography_batch(sub, jnp.asarray(next(stream)))
+        params, opt_state, loss = step(params, opt_state, prep(batch))
+        if i % args.log_every == 0:
+            logger.info("step %d  loss %.4f  (%.2f s/step)", i, float(loss),
+                        (time.time() - t0) / max(i, 1))
+
+    out = save_checkpoint(args.out, params)
+    logger.info("saved checkpoint to %s", out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,44 @@
+"""Native checkpoint save/load (orbax) for WOFT-TPU parameters.
+
+The reference stores flat torch ``state_dict`` .pth files named
+``wraft_weights-ep{NN}-end.pth`` (ref:optical_flow/configs/*:19); here the
+native format is an orbax StandardCheckpoint of the parameter pytree, plus
+round-trip export to the torch layout via models.convert for
+interoperability.
+"""
+
+import os
+
+import jax
+
+
+def save_checkpoint(path, params, *, force=True):
+    """Save a parameter pytree to ``path`` (orbax directory)."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(str(path))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params, force=force)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(path, like=None):
+    """Restore a parameter pytree; ``like`` provides the target structure
+    (sharded/abstract restore)."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    if like is not None:
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), like)
+        return ckptr.restore(os.path.abspath(str(path)), abstract)
+    return ckptr.restore(os.path.abspath(str(path)))
+
+
+def export_torch_pth(path, params):
+    """Export params to a reference-compatible flat .pth state_dict."""
+    import torch
+    from .convert import params_to_torch_statedict
+    flat = params_to_torch_statedict(params)
+    torch.save({k: torch.from_numpy(v.copy()) for k, v in flat.items()},
+               str(path))
+    return path

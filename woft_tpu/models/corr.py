@@ -184,6 +184,44 @@ def corr_lookup_dslice(padded_pyramid, coords, radius=4):
     return jnp.concatenate(outs, axis=-1).reshape(B, H1, W1, -1)
 
 
+def _lookup_level_rowgather(corr_l, coords, radius):
+    """Row-contiguous gather + column one-hot matmul.
+
+    Gathers each query's K+1 full rows with ``take_along_axis`` (contiguous
+    lane-major rows — the gather TPUs handle best), then selects columns
+    with the small one-hot matmul. Zero-padding semantics via row/column
+    validity (out-of-range rows clamp + zero one-hot columns; fully OOB rows
+    are masked)."""
+    Q, Hl, Wl = corr_l.shape
+    k = 2 * radius + 1
+    x = coords[:, 0]
+    y = coords[:, 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(jnp.float32)[:, None, None]
+    fy = (y - y0).astype(jnp.float32)[:, None, None]
+
+    offs = jnp.arange(k + 1, dtype=jnp.int32) - radius
+    rows = y0.astype(jnp.int32)[:, None] + offs[None]           # (Q, k+1)
+    row_valid = ((rows >= 0) & (rows < Hl)).astype(corr_l.dtype)
+    band = jnp.take_along_axis(
+        corr_l, jnp.clip(rows, 0, Hl - 1)[:, :, None], axis=1)  # (Q,k+1,Wl)
+    band = band * row_valid[:, :, None]
+
+    cols = x0.astype(jnp.int32)[:, None] + offs[None]           # (Q, k+1)
+    oh_cols = (cols[:, :, None]
+               == jnp.arange(Wl, dtype=jnp.int32)[None, None, :]
+               ).astype(corr_l.dtype)                           # (Q,k+1,Wl)
+    win_t = jnp.einsum("qaw,qbw->qba", band, oh_cols,
+                       preferred_element_type=jnp.float32)      # (Q,b,a)
+
+    blend = ((1 - fy) * (1 - fx) * win_t[:, :k, :k]
+             + (1 - fy) * fx * win_t[:, 1:, :k]
+             + fy * (1 - fx) * win_t[:, :k, 1:]
+             + fy * fx * win_t[:, 1:, 1:])
+    return blend.reshape(Q, k * k)
+
+
 def corr_lookup(pyramid, coords, radius=4, impl="onehot"):
     """Sample all pyramid levels around per-query centroids.
 
@@ -200,7 +238,9 @@ def corr_lookup(pyramid, coords, radius=4, impl="onehot"):
     B, H1, W1, _ = coords.shape
     Q = B * H1 * W1
     flat_coords = coords.reshape(Q, 2)
-    level_fn = (_lookup_level_onehot if impl == "onehot" else _lookup_level)
+    level_fn = {"onehot": _lookup_level_onehot,
+                "rowgather": _lookup_level_rowgather,
+                "gather": _lookup_level}[impl]
     outs = []
     for lvl, corr_l in enumerate(pyramid):
         outs.append(level_fn(corr_l, flat_coords / (2.0 ** lvl), radius))

@@ -1,0 +1,263 @@
+"""Fully device-resident search-window tracking step.
+
+Everything — search-bbox selection, fixed-window crop, window-space WOFT
+pipeline, homography un-crop, state update — runs inside one jitted step, so
+a video can be tracked with ``lax.scan`` over pre-staged frames with zero
+per-frame host round trips (the production streaming path; the host-shell
+variant in tracker/window.py trades this for the reference's imperative
+API).
+
+Window-coordinate bookkeeping:
+- ``h_tmpl_crop`` (static per sequence): template frame -> template window.
+- per frame, the search bbox is the projection of the template bbox through
+  ``inv(h_last_good)`` with margin + min-size rules
+  (ref:pytracking/tracker/WOFT_window.py:37-44), intersected with the frame.
+- the inner pipeline sees ``cur window -> template window`` homographies;
+  full-frame H is recovered by conjugation (ref:WOFT_window.py:420-427).
+"""
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..models.raft import RaftConfig, weighted_raft_forward, encode_template
+from ..ops.pad import make_padder
+from ..ops.warp import warp_perspective, warp_validity_mask
+from .woft import (TrackerParams, _estimate_h, _select_tcs, _success_check)
+
+
+@dataclass(frozen=True)
+class WindowParams:
+    size: int = 256          # fixed window resolution (static)
+    margin: float = 0.5      # bbox margin fraction
+    min_px: float = 160.0    # min source bbox size (ref: 8*20)
+
+
+def _bbox_to_window_h(x0, y0, w, h, S):
+    """Closed-form h_bbox2bbox((x0, y0, w, h) -> (0, 0, S, S)) on device
+    (ref:geom_utils.py:142-166)."""
+    sx = S / w
+    sy = S / h
+    z = jnp.zeros(())
+    return jnp.stack([
+        jnp.stack([sx, z, -sx * x0]),
+        jnp.stack([z, sy, -sy * y0]),
+        jnp.stack([z, z, jnp.ones(())]),
+    ])
+
+
+def _search_crop_h(h_last_good, tmpl_corners, frame_hw, wp: WindowParams):
+    """Device twin of the host search-bbox logic: project template corners
+    through inv(h_last_good), pad, clamp, emit the crop homography."""
+    S = wp.size
+    inv = jnp.linalg.inv(h_last_good)
+    ones = jnp.ones((4, 1), tmpl_corners.dtype)
+    proj = jnp.concatenate([tmpl_corners, ones], axis=1) @ inv.T   # (4,3)
+    proj = proj[:, :2] / proj[:, 2:3]
+    x_min = jnp.min(proj[:, 0])
+    x_max = jnp.max(proj[:, 0])
+    y_min = jnp.min(proj[:, 1])
+    y_max = jnp.max(proj[:, 1])
+    w = x_max - x_min + 1.0
+    h = y_max - y_min + 1.0
+
+    # min-size rule (ref:Bbox.with_margins_min_size, geom_utils.py:106-119)
+    missing = jnp.maximum(jnp.maximum(wp.min_px - w, 0.0) / (2.0 * w),
+                          jnp.maximum(wp.min_px - h, 0.0) / (2.0 * h))
+    grow = missing + wp.margin
+    x_min = x_min - grow * w
+    x_max = x_max + grow * w
+    y_min = y_min - grow * h
+    y_max = y_max + grow * h
+
+    H_img, W_img = frame_hw
+    # degenerate/escaped box -> search the whole frame
+    bad = ((x_max - x_min < 8.0) | (y_max - y_min < 8.0)
+           | (x_max < 0) | (y_max < 0)
+           | (x_min > W_img - 1.0) | (y_min > H_img - 1.0)
+           | ~jnp.isfinite(x_min) | ~jnp.isfinite(y_max))
+    x_min = jnp.where(bad, 0.0, x_min)
+    y_min = jnp.where(bad, 0.0, y_min)
+    x_max = jnp.where(bad, W_img - 1.0, x_max)
+    y_max = jnp.where(bad, H_img - 1.0, y_max)
+    return _bbox_to_window_h(x_min, y_min, x_max - x_min + 1.0,
+                             y_max - y_min + 1.0, S)
+
+
+def window_init_state(params, raft_cfg: RaftConfig, tp: TrackerParams,
+                      wp: WindowParams, frame, mask, encode=True):
+    """Initial window-tracker state from the first full frame.
+
+    frame: (1, H, W, 3) f32 RGB; mask: (H, W) bool. Returns a state dict;
+    the (static) template crop homography is computed on host from the mask
+    bbox and stored in the state as a device constant."""
+    import numpy as np
+    S = wp.size
+    mask_np = np.asarray(mask)
+    ys, xs = np.where(mask_np)
+    x0, x1 = float(xs.min()), float(xs.max())
+    y0, y1 = float(ys.min()), float(ys.max())
+    w = x1 - x0 + 1
+    h = y1 - y0 + 1
+    x0 -= wp.margin * w
+    y0 -= wp.margin * h
+    w *= 1 + 2 * wp.margin
+    h *= 1 + 2 * wp.margin
+    h_tmpl_crop = np.array([[S / w, 0, -S / w * x0],
+                            [0, S / h, -S / h * y0],
+                            [0, 0, 1.0]], np.float32)
+    tmpl_corners = np.array([[x0, y0], [x0 + w - 1, y0],
+                             [x0 + w - 1, y0 + h - 1], [x0, y0 + h - 1]],
+                            np.float32)
+
+    tmpl_window = warp_perspective(frame, jnp.asarray(h_tmpl_crop),
+                                   out_shape=(S, S))
+    mask_window = warp_perspective(
+        jnp.asarray(mask_np[None, :, :, None].astype(np.float32)),
+        jnp.asarray(h_tmpl_crop), out_shape=(S, S), mode="nearest")
+    if encode:
+        padder = make_padder(tp.padding_mode, tmpl_window.shape)
+        (padded,) = padder.pad(tmpl_window)
+        feats = encode_template(params, raft_cfg, padded)
+    else:
+        feats = None
+
+    return {
+        "h_tmpl_crop": jnp.asarray(h_tmpl_crop),
+        "tmpl_corners": jnp.asarray(tmpl_corners),
+        "tmpl_window": tmpl_window,
+        "tmpl_feats": feats,
+        "tmpl_mask_window": mask_window[0, :, :, 0] > 0,
+        "prev_window": jnp.copy(tmpl_window),
+        "h_prev_win2tmplwin": jnp.eye(3),     # prev window -> template window
+        "h_prev_crop": jnp.asarray(h_tmpl_crop),
+        "h_last_good": jnp.eye(3),            # full-frame cur2init
+        "h_prev_full": jnp.eye(3),
+        "lost": jnp.asarray(False),
+        "n_lost": jnp.asarray(0, jnp.int32),
+    }
+
+
+def build_window_track_step(raft_cfg: RaftConfig, tp: TrackerParams,
+                            wp: WindowParams, flow_fn=None):
+    """(params, state, frame (1,H,W,3)) -> (state, H_cur2init, meta);
+    fully jitted, scan-able."""
+    S = wp.size
+
+    def run_flow(params, img1, img2, template_feats=None):
+        padder = make_padder(tp.padding_mode, img2.shape)
+        if template_feats is None:
+            p1, p2 = padder.pad(img1, img2)
+            out = weighted_raft_forward(params, raft_cfg, p1, p2)
+        else:
+            (p2,) = padder.pad(img2)
+            out = weighted_raft_forward(params, raft_cfg, None, p2,
+                                        template_feats=template_feats)
+        flow = padder.unpad(out["flow_up"])
+        weights = jax.nn.sigmoid(padder.unpad(out["weights_up"])) \
+            if "weights_up" in out else jnp.ones_like(flow[..., :1])
+        return flow, weights
+
+    flow = flow_fn if flow_fn is not None else run_flow
+
+    def step(params, state, frame):
+        frame_hw = frame.shape[1:3]
+        hw = S * S
+        # pre-warp reset escalation (ref:YAOF:78-79)
+        reset = state["n_lost"] > tp.no_prewarp_after_n
+        h_last_good = jnp.where(reset, jnp.eye(3, dtype=jnp.float32),
+                                state["h_last_good"])
+
+        h_crop = _search_crop_h(h_last_good, state["tmpl_corners"],
+                                frame_hw, wp)
+        window = warp_perspective(frame, h_crop, out_shape=(S, S))
+        # window-space prior: cur window -> template window
+        h_crop_inv = jnp.linalg.inv(h_crop)
+        h_prior = state["h_tmpl_crop"] @ (h_last_good @ h_crop_inv)
+        h_prior = h_prior / h_prior[2, 2]
+
+        # pre-warp the window by the prior and compute its validity mask
+        prewarped = warp_perspective(window, h_prior)
+        pw_ok_window = warp_validity_mask(h_prior, (S, S))[0]
+        # pixels sampled from outside the full frame are invalid too
+        frame_ok = warp_validity_mask(
+            (h_prior @ h_crop), frame_hw, out_shape=(S, S))[0]
+        pw_mask = pw_ok_window & frame_ok
+
+        wflow, wweights = flow(params, state["tmpl_window"], prewarped,
+                               state["tmpl_feats"])
+
+        dst = (jnp.stack(
+            [(jnp.arange(hw) % S).astype(jnp.float32),
+             (jnp.arange(hw) // S).astype(jnp.float32)], -1)
+            + wflow.reshape(hw, 2))
+        dst_int = jnp.round(dst).astype(jnp.int32)
+        oob = (jnp.any(dst < 0, axis=-1)
+               | (dst_int[:, 0] >= S) | (dst_int[:, 1] >= S))
+        in_pw = ~oob
+        if tp.use_pw_mask:
+            in_pw &= pw_mask[jnp.clip(dst_int[:, 1], 0, S - 1),
+                             jnp.clip(dst_int[:, 0], 0, S - 1)]
+        valid = state["tmpl_mask_window"].reshape(hw) & in_pw
+
+        src_g, dst_g, w_g, sel = _select_tcs(wflow, wweights, valid,
+                                             tp.subsample_n)
+        h_pw2tmpl = _estimate_h(tp, dst_g, src_g, w_g, sel)
+        ok, inlier_frac = _success_check(tp, h_pw2tmpl, dst_g, src_g,
+                                         sel[0:1])
+
+        # window-space estimate: cur window -> template window
+        h_win = h_pw2tmpl[0] @ h_prior
+        h_win = h_win / h_win[2, 2]
+        # un-crop to the full frame (ref:WOFT_window.py:420-427)
+        h_full = jnp.linalg.inv(state["h_tmpl_crop"]) @ (h_win @ h_crop)
+        h_full = h_full / h_full[2, 2]
+
+        # local fallback: prev window -> cur window flow chained through
+        # the previous window estimate (ref:YAOF:171-207)
+        def local_branch(_):
+            lflow, lweights = flow(params, state["prev_window"], window)
+            # valid where the previous window saw the template: warp the
+            # template-window mask into prev-window coordinates
+            prev_mask = warp_perspective(
+                state["tmpl_mask_window"][None, :, :, None].astype(
+                    jnp.float32),
+                jnp.linalg.inv(state["h_prev_win2tmplwin"]),
+                mode="nearest")
+            lvalid = prev_mask.reshape(hw) > 0
+            lsrc, ldst, lw, lsel = _select_tcs(lflow, lweights, lvalid,
+                                               tp.subsample_n)
+            hf = _estimate_h(tp, ldst, lsrc, lw, lsel)[0]  # cur->prev window
+            # full chain: cur frame -> cur window -> prev window ->
+            #             prev frame -> init
+            h_full_l = (state["h_prev_full"]
+                        @ jnp.linalg.inv(state["h_prev_crop"])
+                        @ hf @ h_crop)
+            h_full_l = h_full_l / h_full_l[2, 2]
+            return jnp.where(jnp.all(jnp.isfinite(h_full_l)), h_full_l,
+                             state["h_prev_full"])
+
+        if tp.no_local_h:
+            h_out = h_full
+        else:
+            h_out = jax.lax.cond(ok, lambda _: h_full, local_branch,
+                                 operand=None)
+
+        new_state = dict(
+            state,
+            prev_window=window,
+            h_prev_win2tmplwin=(state["h_tmpl_crop"] @ h_out
+                                @ h_crop_inv),
+            h_prev_crop=h_crop,
+            h_last_good=jnp.where(ok, h_out, h_last_good),
+            h_prev_full=h_out,
+            lost=~ok,
+            n_lost=jnp.where(ok, 0, state["n_lost"] + 1),
+        )
+        meta = {"global_H_success": ok, "inlier_frac": inlier_frac,
+                "lost": ~ok, "N_lost": new_state["n_lost"],
+                "h_crop": h_crop}
+        return new_state, h_out, meta
+
+    return jax.jit(step, donate_argnums=(1,))

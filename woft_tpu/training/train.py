@@ -77,7 +77,10 @@ def _trainable_mask(params, train_flow):
 
 
 def make_optimizer(params, tcfg: TrainConfig):
-    lr = tcfg.learning_rate if not tcfg.train_flow else 1e-5
+    # reference fine-tunes the whole net at 1e-5
+    # (ref:training_configs/v2_SNOB_large_g05_RAFT.py:37-52); pass that via
+    # learning_rate when fine-tuning — from-scratch runs want more.
+    lr = tcfg.learning_rate
     if tcfg.lr_halving:
         schedule = optax.exponential_decay(
             lr, transition_steps=tcfg.steps_per_epoch, decay_rate=0.5,
