@@ -37,7 +37,9 @@ def parse_args():
                    help="lr halves every epoch (ref schedule)")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--train-flow", action="store_true",
-                   help="fine-tune the whole net at lr 1e-5")
+                   help="train the whole net (reference fine-tune: 1e-5)")
+    p.add_argument("--epe-weight", type=float, default=0.0,
+                   help="dense EPE supervision weight (from-scratch runs)")
     p.add_argument("--iters", type=int, default=12)
     p.add_argument("--init", type=Path,
                    help="torch .pth or orbax checkpoint to start from")
@@ -86,7 +88,8 @@ def main():
     cfg = RaftConfig(variant="weighted", iters=args.iters,
                      precision="default")
     tcfg = TrainConfig(learning_rate=args.lr, train_flow=args.train_flow,
-                       steps_per_epoch=args.steps_per_epoch)
+                       steps_per_epoch=args.steps_per_epoch,
+                       epe_weight=args.epe_weight)
 
     params = init_raft_params(jax.random.PRNGKey(args.seed), cfg)
     if args.init:

@@ -341,6 +341,46 @@ def proj_diff_errors(gt_h, est_h, pts_a):
 
 
 # ---------------------------------------------------------------------------
+# host-side robust estimators (cv2; the reference's ablation solvers)
+# ---------------------------------------------------------------------------
+
+def find_homography_cvransac(pts_a, pts_b, weights=None, *,
+                             max_iters=10000, thr=1.4142, conf=0.995):
+    """OpenCV RANSAC homography (ablation_09, ref:least_squares_H.py:366-393).
+
+    pts_a, pts_b: (B, N, 2) arrays (host numpy or device). Weights ignored
+    (RANSAC replaces them). Returns (B, 3, 3) numpy."""
+    import cv2
+    a = np.asarray(pts_a, np.float64)
+    b = np.asarray(pts_b, np.float64)
+    assert a.shape[1] >= 4, "Not enough correspondences for RANSAC"
+    hs = []
+    for batch in range(a.shape[0]):
+        H, _ = cv2.findHomography(a[batch].reshape(-1, 1, 2),
+                                  b[batch].reshape(-1, 1, 2),
+                                  method=cv2.RANSAC, maxIters=max_iters,
+                                  ransacReprojThreshold=thr, confidence=conf)
+        hs.append(H / (H[2, 2] + _EPS))
+    return np.stack(hs)
+
+
+def find_homography_trs(pts_a, pts_b, weights=None):
+    """Similarity (translation/rotation/scale) fit via
+    cv2.estimateAffinePartial2D (ref:least_squares_H.py:349-363)."""
+    import cv2
+    a = np.asarray(pts_a, np.float64)
+    b = np.asarray(pts_b, np.float64)
+    hs = []
+    for batch in range(a.shape[0]):
+        A, _ = cv2.estimateAffinePartial2D(
+            a[batch].reshape(-1, 1, 2), b[batch].reshape(-1, 1, 2),
+            ransacReprojThreshold=3, maxIters=10000, confidence=0.999)
+        H = np.concatenate([A, [[0.0, 0.0, 1.0]]], axis=0)
+        hs.append(H / (H[2, 2] + _EPS))
+    return np.stack(hs)
+
+
+# ---------------------------------------------------------------------------
 # numpy twins (host-side glue: demo, vis, state plumbing)
 # ---------------------------------------------------------------------------
 

@@ -33,6 +33,10 @@ class TrainConfig:
     train_flow: bool = False     # fine-tune the whole net (ref lr 1e-5)
     steps_per_epoch: int = 1000
     lr_halving: bool = True      # step 0.5 per epoch
+    epe_weight: float = 0.0      # direct flow supervision vs the exact
+                                 # H-induced field (from-scratch training;
+                                 # 0 = pure reference loss)
+    epe_clip: float = 50.0
 
 
 def _subsample_grid(H, W, n):
@@ -62,7 +66,18 @@ def woft_loss(params, cfg: RaftConfig, tcfg: TrainConfig, batch):
     h_est = find_homography_wls_qr(src, dst, w)        # (B, 3, 3)
     pts = jnp.swapaxes(src, 1, 2)                      # (B, 2, n)
     errs = reproj_errors(batch["h_gt"], h_est, pts)    # (B, n)
-    return jnp.mean(jnp.clip(errs, 0.0, tcfg.max_loss))
+    loss = jnp.mean(jnp.clip(errs, 0.0, tcfg.max_loss))
+
+    if tcfg.epe_weight:
+        # dense supervision: the GT homography induces the exact flow field
+        ones = jnp.ones_like(src[..., :1])
+        proj = jnp.einsum("bij,bnj->bni", batch["h_gt"],
+                          jnp.concatenate([src, ones], -1))
+        gt_dst = proj[..., :2] / proj[..., 2:3]
+        epe = jnp.linalg.norm(dst - gt_dst, axis=-1)   # (B, n)
+        loss = loss + tcfg.epe_weight * jnp.mean(
+            jnp.clip(epe, 0.0, tcfg.epe_clip))
+    return loss
 
 
 def _trainable_mask(params, train_flow):

@@ -68,6 +68,71 @@ def write_flow_png(path, flow, valid=None):
     cv2.imwrite(str(path), packed[:, :, ::-1])
 
 
+def get_frames(path):
+    """Sorted jpg frame paths in a directory (ref:io.py:17-19)."""
+    import glob
+    return sorted(Path(p) for p in glob.glob(f"{path}/*.jpg"))
+
+
+def video_seek_frame(time_string, fps=30):
+    """'HH:MM:SS' -> frame index (ref:io.py:22-27)."""
+    import datetime
+    import time as _time
+    parsed = _time.strptime(time_string, "%H:%M:%S")
+    delta = datetime.timedelta(hours=parsed.tm_hour, minutes=parsed.tm_min,
+                               seconds=parsed.tm_sec)
+    return fps * int(delta.total_seconds())
+
+
+def video_seek_frame_name(query_frame_name, frame_paths):
+    """Find a frame index by (zero-padded) name (ref:io.py:30-36)."""
+    import re
+    regexp = re.compile(r"0*" + str(query_frame_name))
+    for i, path in enumerate(frame_paths):
+        if re.match(regexp, Path(path).stem):
+            return i
+    raise ValueError(f"Frame {query_frame_name} not found.")
+
+
+class LookaheadIter:
+    """Iterator with non-consuming lookahead/peek (ref:io.py:55-78)."""
+
+    def __init__(self, it):
+        from collections import deque
+        self._iter = iter(it)
+        self._ahead = deque()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._ahead:
+            return self._ahead.popleft()
+        return next(self._iter)
+
+    def lookahead(self):
+        for x in self._ahead:
+            yield x
+        for x in self._iter:
+            self._ahead.append(x)
+            yield x
+
+    def peek(self, *default):
+        return next(iter(self.lookahead()), *default)
+
+
+def load_maybe_gzipped_pkl(path):
+    """Load .pkl or .pklz (ref:io.py:81-93)."""
+    import gzip
+    import pickle
+    suffix = Path(path).suffix
+    open_fn = {"pklz": gzip.open, "pkl": open}.get(suffix.lstrip("."))
+    if open_fn is None:
+        raise ValueError(f"Unknown pickle file suffix ({suffix}).")
+    with open_fn(path, "rb") as fin:
+        return pickle.load(fin)
+
+
 class VideoWriter:
     """mp4 or image-sequence writer (ref:vis_utils.py:507-540)."""
 
