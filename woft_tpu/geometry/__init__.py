@@ -19,3 +19,4 @@ from .homography import (  # noqa: F401
     np_p2e,
 )
 from .bbox import Bbox, h_bbox2bbox, project_bbox, decompose_h, h_interpolate  # noqa: F401
+from .homography import find_homography_cvransac, find_homography_trs  # noqa: F401

@@ -14,3 +14,11 @@ from .sampling import (  # noqa: F401
     sobol_select_mask,
     masked_sobol_gather,
 )
+from .interpolation import (  # noqa: F401
+    interp_flow,
+    flow_warp_coords,
+    chain_flow,
+    bilinear_interpolate,
+    forward_interpolate,
+)
+from .warp import warp_validity_mask  # noqa: F401

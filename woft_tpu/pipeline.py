@@ -1,0 +1,125 @@
+"""High-throughput streaming tracking pipelines.
+
+The production drivers around the jitted steps (BASELINE configs 4/5):
+
+- ``track_video``: single-stream streaming loop — native threaded JPEG
+  decode+convert (woft_native) feeding the fully device-resident window
+  step; the host stages frame t+1 while the device tracks frame t (JAX
+  async dispatch overlaps upload and compute), and homographies are fetched
+  in deferred batches so the device never idles on host syncs.
+- ``MultiTargetTracker``: N targets in one template frame tracked as one
+  batched device step (vmapped window steps share compile; each target has
+  its own search window / state slice).
+"""
+
+import logging
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .models.raft import RaftConfig
+from .tracker.woft import TrackerParams
+from .tracker.window_step import (WindowParams, build_window_track_step,
+                                  window_init_state)
+
+logger = logging.getLogger(__name__)
+
+
+def _frame_source(video_path, n_threads=4, prefetch=6):
+    """Yield (H, W, 3) float32 RGB frames; native loader for jpg dirs."""
+    path = Path(video_path)
+    if path.is_dir():
+        jpgs = sorted(str(p) for p in path.iterdir()
+                      if p.suffix.lower() in (".jpg", ".jpeg"))
+        if jpgs:
+            try:
+                import woft_native
+                loader = woft_native.FrameLoader(jpgs, n_threads=n_threads,
+                                                 prefetch=prefetch)
+                while True:
+                    frame = loader.next_frame()
+                    if frame is None:
+                        return
+                    yield frame
+                return
+            except ImportError:
+                logger.info("woft_native not built; cv2 fallback")
+    from .utils.io import GeneralVideoCapture
+    cap = GeneralVideoCapture(video_path)
+    while True:
+        ok, frame = cap.read()
+        if not ok or frame is None:
+            return
+        yield frame[:, :, ::-1].astype(np.float32)
+
+
+def track_video(params, raft_cfg: RaftConfig, tp: TrackerParams,
+                wp: WindowParams, video_path, mask, *, sync_every=8,
+                max_frames=0):
+    """Track one clip end-to-end; returns (T, 3, 3) homographies.
+
+    ``sync_every`` controls how many device steps run between host fetches
+    of the accumulated homographies (larger = better overlap, more latency).
+    """
+    source = _frame_source(video_path)
+    first = next(source)
+    frame0 = jnp.asarray(first)[None]
+    state = window_init_state(params, raft_cfg, tp, wp, frame0,
+                              jnp.asarray(np.asarray(mask) > 0))
+    step = build_window_track_step(raft_cfg, tp, wp)
+
+    hs = [np.eye(3)]
+    pending = []
+    for i, frame in enumerate(source):
+        if max_frames and i + 1 >= max_frames:
+            break
+        device_frame = jnp.asarray(frame)[None]     # async upload
+        state, h, meta = step(params, state, device_frame)
+        pending.append(h)
+        if len(pending) >= sync_every:
+            hs.extend(np.asarray(jnp.stack(pending)))
+            pending = []
+    if pending:
+        hs.extend(np.asarray(jnp.stack(pending)))
+    return np.stack(hs)
+
+
+class MultiTargetTracker:
+    """Track N targets (masks in one template frame) as one batched step.
+
+    BASELINE config 4: the batch dim carries targets; each target keeps its
+    own search window, template features and failure ladder. The fallback
+    is disabled in batched mode (lax.cond under vmap would execute both
+    branches for every target); lost targets re-detect via the pre-warp
+    reset ladder instead."""
+
+    def __init__(self, params, raft_cfg: RaftConfig, tp: TrackerParams,
+                 wp: WindowParams):
+        self.params = params
+        self.cfg = raft_cfg
+        self.tp = TrackerParams(**{**tp.__dict__, "no_local_h": True})
+        self.wp = wp
+        inner = build_window_track_step(self.cfg, self.tp, wp)
+        pure = inner.__wrapped__
+
+        def batched(params, states, frame):
+            return jax.vmap(lambda s: pure(params, s, frame))(states)
+
+        self._step = jax.jit(batched, donate_argnums=(1,))
+        self.states = None
+
+    def init(self, frame_bgr, masks):
+        """frame_bgr: (H, W, 3) uint8; masks: (N, H, W) bool/uint8."""
+        frame = jnp.asarray(frame_bgr[:, :, ::-1].astype(np.float32))[None]
+        states = [window_init_state(self.params, self.cfg, self.tp, self.wp,
+                                    frame, jnp.asarray(m > 0))
+                  for m in masks]
+        self.states = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    def track(self, frame_bgr):
+        """-> ((N, 3, 3) homographies, meta dict of (N,) diagnostics)."""
+        frame = jnp.asarray(frame_bgr[:, :, ::-1].astype(np.float32))[None]
+        self.states, hs, meta = self._step(self.params, self.states, frame)
+        return np.asarray(hs), {k: np.asarray(v) for k, v in meta.items()}
