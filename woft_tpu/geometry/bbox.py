@@ -162,3 +162,44 @@ def h_interpolate(h_a, h_b, t):
 
 def compose_h(*Hs):  # host-side alias, None-propagating
     return np_compose_h(*Hs)
+
+
+class HCoordSystemGraph:
+    """BFS over named coordinate frames linked by homographies
+    (ref:geom_utils.py:376-422; the graphviz plot is optional)."""
+
+    def __init__(self):
+        from collections import defaultdict
+        self.nodes = defaultdict(dict)
+
+    def add_mutating(self, src_name, dst_name, h_src2dst):
+        self.nodes[src_name][dst_name] = np.array(h_src2dst)
+        self.nodes[dst_name][src_name] = np.linalg.inv(h_src2dst)
+
+    def add(self, src_name, dst_name, h_src2dst):
+        out = self.copy()
+        out.add_mutating(src_name, dst_name, h_src2dst)
+        return out
+
+    def get(self, src_name, dst_name):
+        from collections import deque
+        visited = {src_name}
+        queue = deque([(src_name, np.eye(3))])
+        while queue:
+            current, h_src2cur = queue.pop()
+            if current == dst_name:
+                return h_src2cur
+            for neighbor, h_cur2nb in self.nodes[current].items():
+                if neighbor not in visited:
+                    visited.add(neighbor)
+                    queue.append((neighbor,
+                                  np_compose_h(h_src2cur, h_cur2nb)))
+        raise RuntimeError(
+            f"No known transformation from {src_name} to {dst_name}.")
+
+    def copy(self):
+        out = HCoordSystemGraph()
+        for src, node in self.nodes.items():
+            for dst, H in node.items():
+                out.nodes[src][dst] = H.copy()
+        return out

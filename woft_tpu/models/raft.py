@@ -19,8 +19,8 @@ jit/vmap/scan-friendly:
 Everything per-frame-pair; batch dim carries multiple targets/streams.
 """
 
-from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,10 +15,7 @@ Three scale-out paths (SURVEY.md sections 2.10, 5.7, 5.8):
 """
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
-
-from .mesh import make_mesh, replicate, shard_batch
 
 
 def sharded_train_step(mesh, cfg, tcfg, tx):

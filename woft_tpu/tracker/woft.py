@@ -28,7 +28,6 @@ Static-shape conversions (SURVEY.md section 7.1/7.4):
 import logging
 from dataclasses import dataclass
 from types import SimpleNamespace
-from typing import Any
 
 import numpy as np
 import jax
