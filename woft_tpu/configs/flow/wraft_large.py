@@ -26,7 +26,12 @@ def get_config():
     conf.class_params.weight_head_structure = [(128, 3), (128, 3), (128, 3)]
 
     weight_dir = Path(__file__).resolve().parent.parent.parent.parent / "weights"
-    conf.model = weight_dir / "v2_SNOB_large_g05_RAFT/wraft_weights-ep01-end.pth"
+    # preference order: natively trained orbax checkpoints, then the
+    # reference .pth (absent upstream), then seeded random init
+    candidates = [weight_dir / "wraft_tpu_v1",
+                  weight_dir / "wraft_tpu_v0",
+                  weight_dir / "v2_SNOB_large_g05_RAFT/wraft_weights-ep01-end.pth"]
+    conf.model = next((c for c in candidates if c.exists()), candidates[-1])
     conf.add_module_to_statedict = True
     conf.non_strict_loading = False
 

@@ -93,9 +93,14 @@ class RaftFlow:
                            "(reference ships without these blobs, "
                            "ref:.MISSING_LARGE_BLOBS)", model_path)
         elif model_path:
-            import orbax.checkpoint as ocp
-            logger.info("Loading orbax checkpoint %s", model_path)
-            return ocp.StandardCheckpointer().restore(str(model_path))
+            import os
+            if os.path.exists(str(model_path)):
+                from ..models.checkpoint import load_checkpoint
+                logger.info("Loading orbax checkpoint %s", model_path)
+                init = init_raft_params(jax.random.PRNGKey(0), self.cfg)
+                return load_checkpoint(str(model_path), like=init)
+            logger.warning("Checkpoint %s missing; using seeded random init",
+                           model_path)
         return init_raft_params(jax.random.PRNGKey(0), self.cfg)
 
     # ------------------------------------------------------------------
