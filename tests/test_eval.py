@@ -1,0 +1,72 @@
+"""Evaluation harness tests (oracle tracker -> zero error)."""
+
+import numpy as np
+import pytest
+
+from woft_tpu.eval.metrics import alignment_error, corner_errors, success_rates
+from woft_tpu.eval.synth_eval import (evaluate_tracker_synthetic,
+                                      synth_trajectory, render_sequence)
+
+
+class OracleTracker:
+    """Returns the exact GT H (captured from the rendered trajectory)."""
+
+    def __init__(self):
+        self.i = 0
+        self.h_gt = None
+
+    def init(self, img, mask):
+        self.i = 0
+
+    def track(self, frame):
+        self.i += 1
+        return self.h_gt[self.i], None
+
+
+class ConstantTracker:
+    def init(self, img, mask):
+        pass
+
+    def track(self, frame):
+        return np.eye(3), None
+
+
+def test_metrics_zero_for_exact():
+    rng = np.random.default_rng(0)
+    h = synth_trajectory(rng, 10, 96, 128)
+    corners = np.array([[10, 10], [100, 10], [100, 80], [10, 80]], float).T
+    errs = corner_errors(h, h, corners)
+    assert np.allclose(errs, 0, atol=1e-9)
+    m = alignment_error(h, h, corners)
+    assert m["median_px"] == 0
+    s = success_rates(h, h, corners)
+    assert s["p@2px"] == 1.0
+
+
+def test_oracle_tracker_scores_zero():
+    pytest.importorskip("cv2")
+    rng = np.random.default_rng(1)
+    base = rng.uniform(0, 255, (64, 96, 3)).astype(np.uint8)
+    mask = np.zeros((64, 96), np.uint8)
+    mask[16:48, 24:72] = 255
+
+    tracker = OracleTracker()
+    # pre-render so the oracle knows the trajectory the harness will build
+    h_gt = synth_trajectory(np.random.default_rng(7), 8, 64, 96)
+    tracker.h_gt = h_gt
+    metrics, h_pred, h_gt_out = evaluate_tracker_synthetic(
+        tracker, base, mask, n_frames=8, seed=7)
+    assert np.allclose(h_gt_out, h_gt)
+    assert metrics["median_px"] < 1e-6
+    assert metrics["p@2px"] == 1.0
+
+
+def test_static_tracker_accumulates_error():
+    pytest.importorskip("cv2")
+    rng = np.random.default_rng(2)
+    base = rng.uniform(0, 255, (64, 96, 3)).astype(np.uint8)
+    mask = np.zeros((64, 96), np.uint8)
+    mask[16:48, 24:72] = 255
+    metrics, _, _ = evaluate_tracker_synthetic(
+        ConstantTracker(), base, mask, n_frames=10, seed=3, max_step_px=5.0)
+    assert metrics["mean_px"] > 1.0

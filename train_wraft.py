@@ -45,6 +45,10 @@ def parse_args():
                    help="torch .pth or orbax checkpoint to start from")
     p.add_argument("--out", type=Path, default=Path("weights/wraft_tpu"))
     p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--ckpt-every", type=int, default=0,
+                   help="save a rolling checkpoint every N steps")
+    p.add_argument("--val-every", type=int, default=0,
+                   help="log held-out EPE every N steps")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel devices (0 = single device)")
@@ -128,6 +132,27 @@ def main():
     stream = image_stream(paths, (H, W), args.batch, rng)
     key = jax.random.PRNGKey(args.seed + 1)
 
+    # held-out validation batch with a fixed key: mean flow EPE vs the
+    # exact H-induced field
+    val_images = jnp.asarray(next(stream))
+    val_batch = synth_homography_batch(jax.random.PRNGKey(12345), val_images)
+
+    @jax.jit
+    def val_epe(params):
+        from woft_tpu.models.raft import weighted_raft_forward
+        out = weighted_raft_forward(params, cfg, val_batch["img1"],
+                                    val_batch["img2"])
+        flow = out["flow_up"]
+        B, Hh, Ww, _ = flow.shape
+        ys, xs = jnp.meshgrid(jnp.arange(Hh, dtype=jnp.float32),
+                              jnp.arange(Ww, dtype=jnp.float32),
+                              indexing="ij")
+        grid = jnp.stack([xs, ys, jnp.ones_like(xs)], -1).reshape(-1, 3)
+        proj = jnp.einsum("bij,nj->bni", val_batch["h_gt"], grid)
+        gt_flow = (proj[..., :2] / proj[..., 2:3]
+                   - grid[None, :, :2]).reshape(B, Hh, Ww, 2)
+        return jnp.mean(jnp.linalg.norm(flow - gt_flow, axis=-1))
+
     t0 = time.time()
     for i in range(args.steps):
         key, sub = jax.random.split(key)
@@ -136,6 +161,11 @@ def main():
         if i % args.log_every == 0:
             logger.info("step %d  loss %.4f  (%.2f s/step)", i, float(loss),
                         (time.time() - t0) / max(i, 1))
+        if args.val_every and i % args.val_every == 0:
+            logger.info("step %d  val EPE %.3f px", i, float(val_epe(params)))
+        if args.ckpt_every and i and i % args.ckpt_every == 0:
+            save_checkpoint(args.out, params)
+            logger.info("rolling checkpoint @ step %d", i)
 
     out = save_checkpoint(args.out, params)
     logger.info("saved checkpoint to %s", out)
