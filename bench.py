@@ -91,6 +91,47 @@ def bench_window(jax, jnp, H, W, n_frames, precision, window):
     return n_frames / (time.perf_counter() - t0)
 
 
+def bench_multi(jax, jnp, H, W, n_frames, precision, window, n_targets=8):
+    """Batched multi-target tracking (BASELINE config 4), device-chained."""
+    from woft_tpu.models.raft import RaftConfig, init_raft_params
+    from woft_tpu.tracker import TrackerParams
+    from woft_tpu.tracker.window_step import (WindowParams,
+                                              build_window_track_step,
+                                              window_init_state)
+
+    cfg = RaftConfig(variant="weighted", iters=12, precision=precision)
+    tp = TrackerParams(padding_mode="nopad", redetection="always",
+                       no_local_h=True)
+    wp = WindowParams(size=window)
+    params = init_raft_params(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)), jnp.float32)
+    states = []
+    for t in range(n_targets):
+        mask = np.zeros((H, W), bool)
+        y = (t // 4) * (H // 2)
+        x = (t % 4) * (W // 4)
+        mask[y + H // 8:y + 3 * H // 8, x + W // 16:x + 3 * W // 16] = True
+        states.append(window_init_state(params, cfg, tp, wp, base,
+                                        jnp.asarray(mask)))
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    inner = build_window_track_step(cfg, tp, wp).__wrapped__
+    step = jax.jit(lambda p, s, f: jax.vmap(
+        lambda si: inner(p, si, f))(s), donate_argnums=(1,))
+
+    frames = [jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)), jnp.float32)
+              for _ in range(4)]
+    batched, hs, meta = step(params, batched, frames[0])
+    _ = np.asarray(hs)
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        batched, hs, meta = step(params, batched, frames[i % len(frames)])
+    _ = np.asarray(hs)
+    return n_frames / (time.perf_counter() - t0)
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -112,6 +153,12 @@ def main():
         fps = bench_window(jax, jnp, H, W, n_frames, precision, window)
         label = (f"tracked {H}x{W} frames/sec/chip (window-{window} "
                  f"WeightedRAFT-12 + wLSq fit, {precision})")
+    elif mode == "multi":
+        n_targets = int(os.environ.get("WOFT_BENCH_TARGETS", 8))
+        fps = bench_multi(jax, jnp, H, W, n_frames, precision, window,
+                          n_targets)
+        label = (f"tracked {H}x{W} frames/sec/chip x{n_targets} targets "
+                 f"(window-{window} WeightedRAFT-12, {precision})")
     else:
         fps = bench_full(jax, jnp, H, W, n_frames, precision)
         label = (f"tracked {H}x{W} frames/sec/chip (full-frame "

@@ -45,6 +45,9 @@ def parse_args():
                    help="torch .pth or orbax checkpoint to start from")
     p.add_argument("--out", type=Path, default=Path("weights/wraft_tpu"))
     p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--max-shift", type=float, default=0.2,
+                   help="synth corner-shift fraction (smaller = easier)")
+    p.add_argument("--max-translation", type=float, default=0.1)
     p.add_argument("--ckpt-every", type=int, default=0,
                    help="save a rolling checkpoint every N steps")
     p.add_argument("--val-every", type=int, default=0,
@@ -135,7 +138,10 @@ def main():
     # held-out validation batch with a fixed key: mean flow EPE vs the
     # exact H-induced field
     val_images = jnp.asarray(next(stream))
-    val_batch = synth_homography_batch(jax.random.PRNGKey(12345), val_images)
+    val_batch = synth_homography_batch(
+        jax.random.PRNGKey(12345), val_images,
+        max_corner_shift=args.max_shift,
+        max_translation=args.max_translation)
 
     @jax.jit
     def val_epe(params):
@@ -156,7 +162,10 @@ def main():
     t0 = time.time()
     for i in range(args.steps):
         key, sub = jax.random.split(key)
-        batch = synth_homography_batch(sub, jnp.asarray(next(stream)))
+        batch = synth_homography_batch(
+            sub, jnp.asarray(next(stream)),
+            max_corner_shift=args.max_shift,
+            max_translation=args.max_translation)
         params, opt_state, loss = step(params, opt_state, prep(batch))
         if i % args.log_every == 0:
             logger.info("step %d  loss %.4f  (%.2f s/step)", i, float(loss),
