@@ -28,7 +28,8 @@ def get_config():
     weight_dir = Path(__file__).resolve().parent.parent.parent.parent / "weights"
     # preference order: natively trained orbax checkpoints, then the
     # reference .pth (absent upstream), then seeded random init
-    candidates = [weight_dir / "wraft_tpu_v1",
+    candidates = [weight_dir / "wraft_tpu_v2",
+                  weight_dir / "wraft_tpu_v1",
                   weight_dir / "wraft_tpu_v0",
                   weight_dir / "v2_SNOB_large_g05_RAFT/wraft_weights-ep01-end.pth"]
     conf.model = next((c for c in candidates if c.exists()), candidates[-1])
