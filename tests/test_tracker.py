@@ -13,6 +13,7 @@ import pytest
 from woft_tpu.models.raft import RaftConfig
 from woft_tpu.tracker import (
     TrackerParams,
+    TrackerState,
     build_track_step,
     tracker_init_state,
 )
@@ -162,6 +163,56 @@ def test_redetection_modes(setup):
                                    jnp.asarray(mask), encode=False)
         state, H, meta = step({}, state, jnp.asarray(template)[None])
         assert bool(meta["lost"]) == expect_lost, mode
+
+
+def test_local_fallback_compose_order(setup):
+    """Fallback with a NON-identity prev_h2init: the recovered pose must be
+    prev_h2init ∘ H_flow (H_flow applied first, cur->prev), matching
+    ref:YAOF:201 compose_H(H_flow, self.prev_H2init). The two orders
+    diverge for non-commuting matrices — regression for the round-1 bug."""
+    cfg, _, template, mask = setup
+    tp = TrackerParams(redetection="never", padding_mode="nopad")
+
+    # oracle flow maps prev-frame coords through A (prev -> cur)
+    A = np.array([[1.0, 0.0, 5.0],
+                  [0.0, 1.0, -3.0],
+                  [0.0, 0.0, 1.0]], np.float32)
+    # non-identity, non-commuting prev->init history
+    Hp = np.array([[0.95, 0.10, 8.0],
+                   [-0.08, 1.05, -6.0],
+                   [2e-5, -1e-5, 1.0]], np.float32)
+
+    params = {"h_tmpl2obs": jnp.asarray(A)}
+    step = build_track_step(cfg, tp, flow_fn=oracle_flow_factory(None))
+    base = tracker_init_state(params, cfg, tp,
+                              jnp.asarray(template)[None],
+                              jnp.asarray(mask), encode=False)
+    state = TrackerState(
+        template_img=base.template_img,
+        template_feats=base.template_feats,
+        template_mask=base.template_mask,
+        prev_img=base.prev_img,
+        prev_h2init=jnp.asarray(Hp),
+        last_good_h2init=jnp.asarray(Hp),
+        lost=base.lost,
+        n_lost=base.n_lost)
+
+    state, H, meta = step(params, state, jnp.asarray(template)[None])
+    H = np.asarray(H)
+
+    expected = Hp @ np.linalg.inv(A)          # apply inv(A)=cur->prev first
+    expected /= expected[2, 2]
+    corners = np.array([[32, 24], [96, 24], [96, 72], [32, 72]], float).T
+    err = np.linalg.norm(np_h_proj(H, corners) - np_h_proj(expected, corners),
+                         axis=0)
+    assert err.max() < 0.05, (H, expected)
+
+    # sanity: the wrong order would be far off
+    wrong = np.linalg.inv(A) @ Hp
+    wrong /= wrong[2, 2]
+    werr = np.linalg.norm(
+        np_h_proj(H, corners) - np_h_proj(wrong, corners), axis=0)
+    assert werr.max() > 0.3
 
 
 def test_weight_masking_rejects_outlier_region(setup):

@@ -39,7 +39,7 @@ class RaftConfig:
     variant: str = "weighted"          # 'orig' | 'weighted' | 'weighted_masked'
     iters: int = 12
     corr_levels: int = 4
-    corr_radius: int = 4
+    corr_radius: int = 0               # 0 = auto: 3 (small) / 4 (basic)
     weight_head_structure: Tuple = ((128, 3), (128, 3), (128, 3))
     mask_head_structure: Tuple = ()
     corr_impl: str = "onehot"          # 'onehot' | 'gather' | 'pallas'
@@ -59,6 +59,8 @@ class RaftConfig:
 
     @property
     def radius(self):
+        if self.corr_radius:
+            return self.corr_radius
         return 3 if self.small else 4
 
     @property
@@ -360,6 +362,8 @@ def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
 
     def step(carry, _):
         net, coords1, _ = carry
+        # per-iteration detach of the coordinate chain (ref:weighted_raft.py:229)
+        coords1 = jax.lax.stop_gradient(coords1)
         corr_feat = lookup(coords1)
         flow = coords1 - coords0
         net, up_mask, delta = update_block_apply(

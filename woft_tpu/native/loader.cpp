@@ -339,7 +339,13 @@ int loader_init(PyObject* self_obj, PyObject* args, PyObject* kwargs) {
       Py_DECREF(seq);
       return -1;
     }
-    self->state->paths.emplace_back(PyUnicode_AsUTF8(str));
+    const char* utf8 = PyUnicode_AsUTF8(str);
+    if (!utf8) {  // non-UTF-8-encodable path: propagate the pending error
+      Py_DECREF(str);
+      Py_DECREF(seq);
+      return -1;
+    }
+    self->state->paths.emplace_back(utf8);
     Py_DECREF(str);
   }
   Py_DECREF(seq);

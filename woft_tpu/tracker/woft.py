@@ -246,7 +246,9 @@ def build_track_step(raft_cfg: RaftConfig, tp: TrackerParams, flow_fn=None):
             lsrc, ldst, lw, lsel = _select_tcs(lflow, lweights, lvalid,
                                                tp.subsample_n)
             H_flow = _estimate_h(tp, ldst, lsrc, lw, lsel)[0]  # cur -> prev
-            H_local = compose_h(state.prev_h2init, H_flow)
+            # H_flow applies first (cur->prev), then prev_h2init (prev->init)
+            # (ref:YAOF:201 compose_H(H_flow, self.prev_H2init))
+            H_local = compose_h(H_flow, state.prev_h2init)
             # solver-failure guard (ref:YAOF:202-204)
             return jnp.where(jnp.all(jnp.isfinite(H_local)), H_local,
                              state.prev_h2init)
