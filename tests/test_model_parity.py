@@ -168,6 +168,43 @@ def test_weight_head_parity(torch_model, params):
     assert np.allclose(ours, theirs, atol=2e-5), np.abs(ours - theirs).max()
 
 
+MH_STRUCTURE = [(64, 3), (64, 3)]
+
+
+def test_masked_variant_parity(images):
+    """'weighted_masked' end-to-end: mask_up must match the torch oracle
+    (ref:weighted_raft.py:296-310,387-422)."""
+    torch.manual_seed(1)
+    args = SimpleNamespace(small=False, mixed_precision=False,
+                           alternate_corr=False,
+                           weight_head_structure=WH_STRUCTURE,
+                           mask_estimation=True,
+                           mask_head_structure=MH_STRUCTURE)
+    net = WeightedRAFT(args)
+    net.eval()
+    net.requires_grad_(False)
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    p = torch_statedict_to_params(sd)
+
+    im1, im2 = images
+    iters = 2
+    with torch.no_grad():
+        (t_flow, t_flow_up, t_cv, t_w, t_w_up, t_mask_up) = net(
+            to_torch(im1), to_torch(im2), iters=iters, test_mode=True)
+
+    cfg = RaftConfig(
+        variant="weighted_masked", iters=iters,
+        weight_head_structure=tuple(tuple(s) for s in WH_STRUCTURE),
+        mask_head_structure=tuple(tuple(s) for s in MH_STRUCTURE))
+    out = weighted_raft_forward(p, cfg, jnp.asarray(im1), jnp.asarray(im2))
+
+    assert "mask_up" in out
+    m_err = np.abs(np.asarray(out["mask_up"]) - to_np(t_mask_up)).max()
+    assert m_err < 5e-3, m_err
+    w_err = np.abs(np.asarray(out["weights_up"]) - to_np(t_w_up)).max()
+    assert w_err < 5e-3, w_err
+
+
 def test_end_to_end_parity(torch_model, params, images):
     im1, im2 = images
     iters = 4

@@ -215,6 +215,36 @@ def test_local_fallback_compose_order(setup):
     assert werr.max() > 0.3
 
 
+def test_visibility_mask_feeds_tc_validity(setup):
+    """'weighted_masked' seam: a 3-tuple flow_fn's visibility mask removes
+    TCs even at weight 1 (ref:weighted_raft.py:296-310)."""
+    cfg, tp, template, mask = setup
+
+    def flow_with_invisible_region(params, img1, img2, template_feats=None):
+        flow = jnp.zeros((1, H_IMG, W_IMG, 2))
+        # corrupt flow rows 24..48, full weight — only the visibility
+        # mask can reject it
+        flow = flow.at[:, 24:48, :, :].set(17.3)
+        weights = jnp.ones((1, H_IMG, W_IMG, 1))
+        vis = jnp.ones((1, H_IMG, W_IMG, 1))
+        vis = vis.at[:, 24:48, :, :].set(0.0)
+        return flow, weights, vis
+
+    step = build_track_step(cfg, tp, flow_fn=flow_with_invisible_region)
+    state = tracker_init_state({}, cfg, tp, jnp.asarray(template)[None],
+                               jnp.asarray(mask), encode=False)
+    state, H, meta = step({}, state, jnp.asarray(template)[None])
+    assert np.allclose(np.asarray(H), np.eye(3), atol=1e-2), np.asarray(H)
+
+
+def test_masked_config_loads():
+    from pathlib import Path
+    from woft_tpu.config import load_config
+    conf = load_config(Path(__file__).resolve().parent.parent
+                       / "woft_tpu/configs/WOFT_masked.py")
+    assert conf.flow_config.raft_type == "weighted_masked"
+
+
 def test_weight_masking_rejects_outlier_region(setup):
     """Zero-weight region with corrupted flow must not perturb the fit."""
     cfg, tp, template, mask = setup

@@ -19,11 +19,13 @@ _FLOW_DIR = Path(__file__).resolve().parent / "flow"
 
 def build_config(estimator="wls_qr", redetection="inliers", downscale=0,
                  flow_config="wraft_large.py", padding_mode=None,
-                 subsample_n=500, no_local_h=False):
+                 subsample_n=500, no_local_h=False, flow_overrides=None):
     conf = Config()
     conf.tracker_class = WOFTTracker
     conf.flow_config = load_config(_FLOW_DIR / flow_config)
     conf.flow_config.weights_postprocessing_fn = None
+    for k, v in (flow_overrides or {}).items():
+        setattr(conf.flow_config, k, v)
     if padding_mode is None:
         # downscaled inputs are rarely /8: use replicate padding like the
         # reference's WOFT_downscale_* configs (ref:WOFT_downscale_2x.py:63)

@@ -65,6 +65,64 @@ def local_cost_volume(fmap1, fmap2, patch=7, precision=None):
     return jnp.stack(outs, axis=-1) / np.sqrt(D)
 
 
+def make_raft_backend(config):
+    """Default external backend: an 'orig' RAFT (no built-in weight head —
+    the LiteFlowNet2 role) producing flow plus the 7x7 local cost volume
+    at 1/8 resolution from its feature maps.
+
+    The reference's LiteFlowNet2 lives in an mmflow fork that is not
+    shipped (SURVEY.md section 2.9); this backend reproduces the *shape* of
+    that pipeline — external flow net + hooked local cost volume
+    (ref:optical_flow/mm.py:21-34) — with a TPU-native flow net, so the
+    ablation_10-12 configs are runnable end to end."""
+    from ..models.raft import (RaftConfig, init_raft_params,
+                               weighted_raft_forward)
+    from ..ops.pad import make_padder
+
+    cfg = RaftConfig(variant="orig",
+                     iters=int(config.backend_iters or 12),
+                     precision=str(config.precision or "highest"))
+    model_path = config.backend_model
+    params = init_raft_params(jax.random.PRNGKey(0), cfg)
+    if model_path:
+        import os
+        if str(model_path).endswith((".pth", ".pt")):
+            if os.path.exists(str(model_path)):
+                from ..models.convert import load_torch_checkpoint
+                params = load_torch_checkpoint(str(model_path), params,
+                                               non_strict=True)
+            else:
+                logger.warning("backend checkpoint %s missing; random init",
+                               model_path)
+        elif os.path.exists(str(model_path)):
+            from ..models.checkpoint import load_checkpoint
+            restored = load_checkpoint(str(model_path))
+            # a weighted-RAFT checkpoint is a superset of the orig
+            # backbone: intersect trees, keep init for absent keys
+
+            def merge(init, rest):
+                if isinstance(init, dict):
+                    return {k: merge(v, rest[k]) if k in rest else v
+                            for k, v in init.items()}
+                return jnp.asarray(rest)
+
+            params = merge(params, restored)
+        else:
+            logger.warning("backend checkpoint %s missing; random init",
+                           model_path)
+    patch = int(config.patch or 7)
+    padding_mode = str(config.padding_mode or "nopad")
+
+    def backend(img1, img2):
+        padder = make_padder(padding_mode, img1.shape)
+        p1, p2 = padder.pad(img1, img2)
+        out = weighted_raft_forward(params, cfg, p1, p2)
+        cv = local_cost_volume(out["fmap1"], out["fmap2"], patch)
+        return padder.unpad(out["flow_up"]), cv
+
+    return backend
+
+
 class ExternalFlowWrapper:
     """compute_flow protocol around a pluggable external flow backend.
 
@@ -79,9 +137,38 @@ class ExternalFlowWrapper:
     def __init__(self, config):
         self.C = config
         self.patch = int(config.patch or 7)
-        self.backend_fn = config.backend_fn
-        from ..models.convert import load_torch_checkpoint
-        self.params = load_torch_checkpoint(str(config.model))
+        self.backend_fn = config.backend_fn or make_raft_backend(config)
+        if config.use_weight_head is False:
+            # ablation_10/11: flow without the reliability head
+            # (ref:configs/WOFT_liteflownet2_noweights.py)
+            self.params = {}
+        else:
+            from ..models.convert import load_torch_checkpoint
+            self.params = load_torch_checkpoint(str(config.model))
+
+    def make_flow_fn(self):
+        """Jittable (flow, weights) fn with the tracker flow seam signature
+        (tracker/woft.py build_track_step): images are (1, H, W, 3) f32 RGB
+        device arrays; weights come from the external cost-volume head
+        (uniform 1s in the 'noweights' ablations)."""
+        head_params = self.params
+        backend = self.backend_fn
+        patch = self.patch
+        use_head = bool(head_params)
+
+        def flow_fn(params, img1, img2, template_feats=None):
+            del params, template_feats
+            flow, cost_volume = backend(img1, img2)
+            if use_head:
+                logits = cost_volume_weight_head(head_params, cost_volume,
+                                                 patch)
+                weights = jax.nn.sigmoid(
+                    upsample2d_align_corners(logits, img2.shape[1:3]))
+            else:
+                weights = jnp.ones_like(flow[..., :1])
+            return flow, weights
+
+        return flow_fn
 
     def compute_flow(self, src_img, dst_img, mode="TC", vis=False,
                      src_img_identifier=None, numpy_out=False,

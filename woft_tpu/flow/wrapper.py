@@ -59,7 +59,9 @@ class RaftFlow:
         variant = {"orig": "orig", "weighted": "weighted",
                    "weighted_masked": "weighted_masked"}[config.raft_type]
         whs = cp.weight_head_structure or ()
-        mhs = cp.mask_head_structure or ()
+        mhs = cp.mask_head_structure or (
+            [(128, 3), (128, 3), (128, 3)]
+            if variant == "weighted_masked" else ())
         self.cfg = RaftConfig(
             small=bool(cp.small),
             variant=variant,
@@ -98,7 +100,24 @@ class RaftFlow:
                 from ..models.checkpoint import load_checkpoint
                 logger.info("Loading orbax checkpoint %s", model_path)
                 init = init_raft_params(jax.random.PRNGKey(0), self.cfg)
-                return load_checkpoint(str(model_path), like=init)
+                try:
+                    return load_checkpoint(str(model_path), like=init)
+                except Exception:
+                    # structure mismatch (e.g. a 'weighted' checkpoint
+                    # under a 'weighted_masked' config): restore the saved
+                    # tree and merge what exists, keep init for the rest
+                    restored = load_checkpoint(str(model_path))
+
+                    def merge(node, rest):
+                        if isinstance(node, dict):
+                            return {k: merge(v, rest[k]) if k in rest else v
+                                    for k, v in node.items()}
+                        return jnp.asarray(rest)
+
+                    logger.warning(
+                        "checkpoint %s is a partial match; merging "
+                        "overlapping subtrees non-strictly", model_path)
+                    return merge(init, restored)
             logger.warning("Checkpoint %s missing; using seeded random init",
                            model_path)
         return init_raft_params(jax.random.PRNGKey(0), self.cfg)

@@ -59,8 +59,11 @@ class TrackerParams:
     min_inlier_frac: float = 0.2
     no_prewarp_after_n: int = 10
     estimator: str = "wls_qr"       # 'wls_qr' | 'irls_huber' | 'plain_qr'
+                                    # | 'cvransac' | 'trs' (host callbacks)
     irls_k: float = 2.0
     irls_iters: int = 5
+    ransac_thr: float = 3.0         # ablation_09 (ref:..._cvransac_wLSq.py:27)
+    ransac_iters: int = 10000
     redetection: str = "inliers"    # 'inliers' | 'never' | 'always'
     use_pw_mask: bool = True        # mask TCs by the pre-warp validity region
     no_local_h: bool = False        # skip the local-flow fallback
@@ -109,11 +112,48 @@ jax.tree_util.register_pytree_node(
     TrackerState.tree_unflatten)
 
 
+def _host_robust_fit(estimator, thr, iters):
+    """Host-side robust estimator (cv2 RANSAC / TRS similarity) as a
+    pure_callback body: filters valid rows (dynamic shapes are fine on
+    host), fits, and returns NaNs on solver failure so the device-side
+    finiteness guards take the fallback ladder — the exact analog of the
+    reference's try/except around its cv2 solvers (ref:YAOF:202-204)."""
+    from ..geometry.homography import (find_homography_cvransac,
+                                       find_homography_trs)
+
+    def fit(a, b, v):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        v = np.asarray(v) > 0.5
+        out = np.full((a.shape[0], 3, 3), np.nan, np.float32)
+        for i in range(a.shape[0]):
+            sa, sb = a[i][v[i]], b[i][v[i]]
+            if sa.shape[0] < 4:
+                continue
+            try:
+                if estimator == "cvransac":
+                    out[i] = find_homography_cvransac(
+                        sa[None], sb[None], max_iters=iters, thr=thr)[0]
+                else:
+                    out[i] = find_homography_trs(sa[None], sb[None])[0]
+            except Exception:       # noqa: BLE001 — NaN H = fallback
+                pass
+        return out
+
+    return fit
+
+
 def _estimate_h(tp: TrackerParams, pts_a, pts_b, weights, valid):
     """Fit H mapping pts_a -> pts_b with the configured estimator.
 
     pts_a/pts_b: (1, N, 2); weights: (1, N) sigmoided reliabilities;
     valid: (1, N) 0/1 selection."""
+    if tp.estimator in ("cvransac", "trs"):
+        fit = _host_robust_fit(tp.estimator, tp.ransac_thr, tp.ransac_iters)
+        return jax.pure_callback(
+            fit,
+            jax.ShapeDtypeStruct((pts_a.shape[0], 3, 3), jnp.float32),
+            pts_a, pts_b, valid)
     if tp.estimator == "plain_qr":
         # plain LSq ablation: 0/1 validity = exact point removal
         return find_homography_wls_qr(pts_a, pts_b, valid)
@@ -189,9 +229,20 @@ def build_track_step(raft_cfg: RaftConfig, tp: TrackerParams, flow_fn=None):
         flow = padder.unpad(out["flow_up"])
         weights = jax.nn.sigmoid(padder.unpad(out["weights_up"])) \
             if "weights_up" in out else jnp.ones_like(flow[..., :1])
+        if "mask_up" in out:       # 'weighted_masked': visibility logits
+            return flow, weights, jax.nn.sigmoid(padder.unpad(out["mask_up"]))
         return flow, weights
 
-    run_flow = flow_fn if flow_fn is not None else default_flow
+    base_flow = flow_fn if flow_fn is not None else default_flow
+
+    def run_flow(params, img1, img2, template_feats=None):
+        """Normalise the flow seam to (flow, weights, vis-or-None); the
+        'weighted_masked' variant adds a visibility mask
+        (ref:optical_flow/raft.py:180-181,215-216)."""
+        res = base_flow(params, img1, img2, template_feats)
+        if len(res) == 2:
+            return res[0], res[1], None
+        return res
 
     def step(params, state: TrackerState, frame):
         H_img, W_img = frame.shape[1:3]
@@ -208,8 +259,8 @@ def build_track_step(raft_cfg: RaftConfig, tp: TrackerParams, flow_fn=None):
         pw_mask = warp_validity_mask(last_good, (H_img, W_img))[0]
 
         # global flow template -> prewarped current (ref:YAOF:98-131)
-        flow, weights = run_flow(params, state.template_img, prewarped,
-                                 state.template_feats)
+        flow, weights, vis = run_flow(params, state.template_img, prewarped,
+                                      state.template_feats)
 
         # TC validity: template mask + pre-warp region/bounds (ref:YAOF:287-312)
         dst = (jnp.stack(
@@ -225,6 +276,10 @@ def build_track_step(raft_cfg: RaftConfig, tp: TrackerParams, flow_fn=None):
                              jnp.clip(dst_int[:, 0], 0, W_img - 1)]
             in_pw &= lookup
         valid = state.template_mask.reshape(hw) & in_pw
+        if vis is not None:
+            # visibility mask feeds TC validity ('weighted_masked',
+            # ref:weighted_raft.py:296-310)
+            valid &= vis.reshape(hw) > 0.5
 
         src_g, dst_g, w_g, sel = _select_tcs(flow, weights, valid,
                                              tp.subsample_n)
@@ -242,7 +297,9 @@ def build_track_step(raft_cfg: RaftConfig, tp: TrackerParams, flow_fn=None):
                 state.template_mask[None, :, :, None].astype(jnp.float32),
                 jnp.linalg.inv(state.prev_h2init), mode="nearest")
             lvalid = prev_mask.reshape(hw) > 0
-            lflow, lweights = run_flow(params, state.prev_img, frame)
+            lflow, lweights, lvis = run_flow(params, state.prev_img, frame)
+            if lvis is not None:
+                lvalid &= lvis.reshape(hw) > 0.5
             lsrc, ldst, lw, lsel = _select_tcs(lflow, lweights, lvalid,
                                                tp.subsample_n)
             H_flow = _estimate_h(tp, ldst, lsrc, lw, lsel)[0]  # cur -> prev
@@ -327,14 +384,22 @@ class WOFTTracker:
     def __init__(self, config):
         self.C = config
         from ..flow.wrapper import RaftFlow
-        self.flower = RaftFlow(config.flow_config)
         self.tp = (config.tracker_params
                    if isinstance(config.tracker_params, TrackerParams)
                    else TrackerParams(
                        downscale=int(config.downscale_inputs or 0),
                        padding_mode=str(config.flow_config.padding_mode
                                         or "nopad")))
-        self._step = build_track_step(self.flower.cfg, self.tp)
+        # the reference's L5->L3 seam: config selects the wrapper class
+        # (ref:YAOF_tracker_single_control.py:23 config.flow_config.of_class)
+        of_class = config.flow_config.of_class or RaftFlow
+        self._external = of_class is not RaftFlow
+        self.flower = of_class(config.flow_config)
+        if self._external:
+            self._step = build_track_step(RaftConfig(), self.tp,
+                                          flow_fn=self.flower.make_flow_fn())
+        else:
+            self._step = build_track_step(self.flower.cfg, self.tp)
         self.state = None
         self._fast_forward = None
 
@@ -362,9 +427,14 @@ class WOFTTracker:
         assert len(contours) == 1, "template mask must be one blob"
         self.template_contour = contours[0][:, 0, :].T          # (2, N)
 
-        self.state = tracker_init_state(
-            self.flower.params, self.flower.cfg, self.tp,
-            device_img, jnp.asarray(mask > 0))
+        if self._external:
+            self.state = tracker_init_state(
+                self.flower.params, RaftConfig(), self.tp,
+                device_img, jnp.asarray(mask > 0), encode=False)
+        else:
+            self.state = tracker_init_state(
+                self.flower.params, self.flower.cfg, self.tp,
+                device_img, jnp.asarray(mask > 0))
         self._fast_forward = None
 
     def set_fast_meta(self, meta):
