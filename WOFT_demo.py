@@ -36,6 +36,11 @@ def parse_arguments():
     parser.add_argument("--full-frame", action="store_true",
                         help="init with a centered half-frame box")
     parser.add_argument("--max-frames", type=int, default=0)
+    parser.add_argument("--debug", action="store_true",
+                        help="render per-frame debug overlays (TC arrows, "
+                             "alignment blends); shown in windows, or "
+                             "written to --out when headless "
+                             "(ref:YAOF_tracker_single_control.py:209-265)")
     args = parser.parse_args()
 
     fmt = "[%(asctime)s] %(levelname)s:%(name)s:%(message)s"
@@ -118,12 +123,21 @@ def run(args):
 
         timer = time_measurer("ms")
         try:
-            h_2init, meta = tracker.track(frame)
+            h_2init, meta = tracker.track(frame, debug=args.debug)
             last_h = h_2init.copy()
         except Exception:  # noqa: BLE001 — demo keeps going (ref:WOFT_demo.py:66-72)
             logger.exception("Tracker exception")
             h_2init = last_h.copy()
             meta = None
+
+        for name, im in getattr(meta, "debug_vis", {}).items():
+            if args.headless:
+                out_dir = args.out if args.out.suffix == "" else args.out.parent
+                Path(out_dir).mkdir(parents=True, exist_ok=True)
+                cv2.imwrite(str(Path(out_dir)
+                                / f"{frame_i:05d}_debug_{name}.jpg"), im)
+            else:
+                cv2.imshow(f"cv: {name}", im)
         logger.debug("frame %d: %.1fms lost=%s", frame_i, timer(),
                      getattr(meta, "lost", "?"))
 
@@ -140,7 +154,12 @@ def run(args):
     if writer is not None:
         writer.release()
         out_dir = args.out if args.out.suffix == "" else args.out.parent
-        np.savez(Path(out_dir) / "homographies.npz", H=np.stack(hs))
+        ys, xs = np.where(init_mask > 0)
+        corners = np.array([[xs.min(), ys.min()], [xs.max(), ys.min()],
+                            [xs.max(), ys.max()], [xs.min(), ys.max()]],
+                           np.float64)
+        np.savez(Path(out_dir) / "homographies.npz", H=np.stack(hs),
+                 corners=corners)
         print(f"wrote {len(hs)} frames to {args.out}")
     if not args.headless:
         cv2.destroyAllWindows()

@@ -38,7 +38,64 @@ def parse_args():
                    help="downscale base frames before evaluation")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=Path, help="write metrics JSON here")
+    p.add_argument("--pot", type=Path,
+                   help="POT ground-truth file (8 numbers/frame: 4 corner "
+                        "x y pairs) or a directory containing frames + one "
+                        "*.txt annotation — scores real footage instead of "
+                        "synthetic trajectories")
+    p.add_argument("--pot-ref", type=Path,
+                   help="homographies.npz (+init corners from --pot or the "
+                        "center quad) from a reference run — scores this "
+                        "config against that run's corners on the same "
+                        "frames (cross-mode regression on real footage)")
     return p.parse_args()
+
+
+def run_pot(args, config):
+    """Real-data POT evaluation path (--pot / --pot-ref)."""
+    import glob as _glob
+    import json
+    import cv2
+    from woft_tpu.eval.pot import (read_pot_annotations,
+                                   corners_from_homographies,
+                                   evaluate_pot_sequence)
+
+    frames = sorted(sum((_glob.glob(str(args.images / f"*.{e}"))
+                         for e in ("jpg", "jpeg", "png")), []))
+    if not frames:
+        raise SystemExit(f"no frames under {args.images}")
+
+    if args.pot_ref:
+        ref = np.load(args.pot_ref)
+        hs = ref["H"]
+        first = cv2.imread(frames[0])
+        H, W = first.shape[:2]
+        if "corners" in ref:
+            quad = ref["corners"]
+        else:   # the demo's default centered half-frame box
+            quad = np.array([[W // 4, H // 4], [3 * W // 4, H // 4],
+                             [3 * W // 4, 3 * H // 4], [W // 4, 3 * H // 4]],
+                            np.float64)
+        gt = np.concatenate([quad[None],
+                             corners_from_homographies(hs, quad)])
+    else:
+        pot_path = args.pot
+        if pot_path.is_dir():
+            anns = sorted(pot_path.glob("*.txt"))
+            if not anns:
+                raise SystemExit(f"no *.txt annotation under {pot_path}")
+            pot_path = anns[0]
+        gt = read_pot_annotations(pot_path)
+        quad = gt[0]
+
+    tracker = config.tracker_class(config)
+    metrics, est, hs = evaluate_pot_sequence(
+        tracker, frames, gt, init_corners=quad,
+        max_frames=args.frames if args.frames else 0)
+    print(json.dumps(metrics))
+    if args.out:
+        args.out.write_text(json.dumps(metrics, indent=2))
+    return 0
 
 
 def main():
@@ -49,12 +106,15 @@ def main():
     from woft_tpu.config import load_config
     from woft_tpu.eval.synth_eval import evaluate_tracker_synthetic
 
+    config = load_config(args.config)
+    if args.pot or args.pot_ref:
+        return run_pot(args, config)
+
     paths = sorted(sum((glob.glob(str(args.images / f"*.{e}"))
                         for e in ("jpg", "jpeg", "png")), []))
     if not paths:
         raise SystemExit(f"no images under {args.images}")
 
-    config = load_config(args.config)
     tracker = config.tracker_class(config)
 
     rng = np.random.default_rng(args.seed)

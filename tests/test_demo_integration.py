@@ -65,7 +65,8 @@ def get_config():
     proc = subprocess.run(
         [sys.executable, str(Path(REPO_ROOT) / "WOFT_demo.py"),
          str(tiny_clip), "--headless", "--out", str(out),
-         "--config", str(cfg), "--bbox", "30,20,60,50", "--max-frames", "4"],
+         "--config", str(cfg), "--bbox", "30,20,60,50", "--max-frames", "4",
+         "--debug"],
         capture_output=True, text=True, timeout=900,
         env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
              "HOME": "/root"},
@@ -75,3 +76,10 @@ def get_config():
     assert hs.shape[0] >= 3
     assert np.isfinite(hs).all()
     assert (out / "00000.jpg").exists()
+    # debug overlays written headlessly (ref:YAOF:209-265 debug vis)
+    import cv2
+    for name in ("pw_flow", "local_flow", "composition", "template_points"):
+        p = out / f"00001_debug_{name}.jpg"
+        assert p.exists(), p
+        im = cv2.imread(str(p))
+        assert im is not None and im.size > 0 and im.std() > 0

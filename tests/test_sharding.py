@@ -94,3 +94,33 @@ def test_sharded_track_batch_eight_streams():
     for b in range(8):
         assert np.allclose(hs[b], np.eye(3), atol=1e-3)
     assert np.asarray(metas["global_H_success"]).all()
+
+
+def test_sharded_track_batch_real_network():
+    """dp-sharded tracking through the REAL WeightedRAFT (incl. the weight
+    head) — regression for the GSPMD grouped-conv rewrite that broke the
+    1-channel head conv under batch sharding (fixed: 1x1 convs lower to
+    einsum, models/layers.py)."""
+    from woft_tpu.parallel.mesh import replicate
+
+    cfg = RaftConfig(variant="weighted", iters=2, small=True,
+                     weight_head_structure=((32, 3),), precision="default")
+    tp = TrackerParams(subsample_n=64, padding_mode="nopad")
+    params = init_raft_params(jax.random.PRNGKey(0), cfg)
+
+    frames = jax.random.uniform(jax.random.PRNGKey(4), (4, 1, 48, 64, 3),
+                                minval=0.0, maxval=255.0)
+    mask = jnp.zeros((48, 64), bool).at[12:36, 16:48].set(True)
+    states = jax.vmap(
+        lambda f: tracker_init_state(params, cfg, tp, f, mask))(frames)
+
+    mesh = make_mesh(8, sp=2)
+    with mesh:
+        tparams = replicate(mesh, params)
+        s2 = shard_batch(mesh, states)
+        f2 = shard_batch(mesh, frames)
+        step = sharded_track_batch(mesh, cfg, tp)
+        _, hs, metas = step(tparams, s2, f2)
+    hs = np.asarray(hs)
+    assert hs.shape == (4, 3, 3)
+    assert np.isfinite(hs).all()

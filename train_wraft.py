@@ -47,7 +47,19 @@ def parse_args():
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--max-shift", type=float, default=0.2,
                    help="synth corner-shift fraction (smaller = easier)")
+    p.add_argument("--min-shift", type=float, default=0.0,
+                   help="if >0, sample the per-step corner shift "
+                        "log-uniformly in [min-shift, max-shift] — mixes "
+                        "prewarp-residual (small) and redetection (large) "
+                        "motion magnitudes")
     p.add_argument("--max-translation", type=float, default=0.1)
+    p.add_argument("--scale-jitter", type=float, default=1.0,
+                   help="if >1, sample source crops up to this factor "
+                        "larger and resize down to --size (matches the "
+                        "window tracker's crop-resample distribution)")
+    p.add_argument("--grid-subsample", action="store_true",
+                   help="round-1 stride-grid TC subsampling instead of the "
+                        "tracker-matched Sobol-500 over masked points")
     p.add_argument("--ckpt-every", type=int, default=0,
                    help="save a rolling checkpoint every N steps")
     p.add_argument("--val-every", type=int, default=0,
@@ -58,8 +70,13 @@ def parse_args():
     return p.parse_args()
 
 
-def image_stream(paths, hw, batch, rng):
-    """Host-side decode + random-crop batcher."""
+def image_stream(paths, hw, batch, rng, scale_jitter=1.0):
+    """Host-side decode + random-crop batcher.
+
+    ``scale_jitter > 1`` samples crops up to that factor larger than the
+    target size and resizes them down — reproducing the window tracker's
+    crop-resample blur (search bboxes larger than the fixed window are
+    downsampled into it, tracker/window_step.py)."""
     import cv2
     H, W = hw
     while True:
@@ -69,10 +86,17 @@ def image_stream(paths, hw, batch, rng):
             img = cv2.imread(str(path))
             if img is None or img.shape[0] < H or img.shape[1] < W:
                 continue
-            y = rng.integers(img.shape[0] - H + 1)
-            x = rng.integers(img.shape[1] - W + 1)
-            crop = img[y:y + H, x:x + W, ::-1].astype(np.float32)
-            imgs.append(crop)
+            s = 1.0
+            if scale_jitter > 1.0:
+                s_max = min(scale_jitter, img.shape[0] / H, img.shape[1] / W)
+                s = float(np.exp(rng.uniform(0.0, np.log(max(s_max, 1.0)))))
+            ch, cw = int(round(H * s)), int(round(W * s))
+            y = rng.integers(img.shape[0] - ch + 1)
+            x = rng.integers(img.shape[1] - cw + 1)
+            crop = img[y:y + ch, x:x + cw, ::-1]
+            if s != 1.0:
+                crop = cv2.resize(crop, (W, H), interpolation=cv2.INTER_AREA)
+            imgs.append(crop.astype(np.float32))
         yield np.stack(imgs)
 
 
@@ -96,7 +120,8 @@ def main():
                      precision="default")
     tcfg = TrainConfig(learning_rate=args.lr, train_flow=args.train_flow,
                        steps_per_epoch=args.steps_per_epoch,
-                       epe_weight=args.epe_weight)
+                       epe_weight=args.epe_weight,
+                       subsample="grid" if args.grid_subsample else "sobol")
 
     params = init_raft_params(jax.random.PRNGKey(args.seed), cfg)
     if args.init:
@@ -116,10 +141,14 @@ def main():
         mesh = make_mesh(args.dp, sp=1)
         params = replicate(mesh, params)
         opt_state = replicate(mesh, opt_state)
-        step = sharded_train_step(mesh, cfg, tcfg, tx)
+        step = sharded_train_step(mesh, cfg, tcfg, tx, with_key=True)
 
         def prep(batch):
-            return shard_batch(mesh, batch)
+            key = batch.pop("key", None)
+            batch = shard_batch(mesh, batch)
+            if key is not None:
+                batch["key"] = replicate(mesh, key)
+            return batch
     else:
         step = jax.jit(make_train_step(cfg, tcfg, tx),
                        donate_argnums=(0, 1))
@@ -132,8 +161,15 @@ def main():
     logger.info("%d training images", len(paths))
 
     rng = np.random.default_rng(args.seed)
-    stream = image_stream(paths, (H, W), args.batch, rng)
+    stream = image_stream(paths, (H, W), args.batch, rng,
+                          scale_jitter=args.scale_jitter)
     key = jax.random.PRNGKey(args.seed + 1)
+
+    # synth under jit with the shift as a traced scalar: per-step motion
+    # magnitudes (the --min-shift mixture) don't retrace
+    synth = jax.jit(lambda k, imgs, shift: synth_homography_batch(
+        k, imgs, max_corner_shift=shift,
+        max_translation=args.max_translation))
 
     # held-out validation batch with a fixed key: mean flow EPE vs the
     # exact H-induced field
@@ -161,11 +197,14 @@ def main():
 
     t0 = time.time()
     for i in range(args.steps):
-        key, sub = jax.random.split(key)
-        batch = synth_homography_batch(
-            sub, jnp.asarray(next(stream)),
-            max_corner_shift=args.max_shift,
-            max_translation=args.max_translation)
+        key, sub, mkey = jax.random.split(key, 3)
+        if args.min_shift > 0:
+            shift = float(np.exp(rng.uniform(np.log(args.min_shift),
+                                             np.log(args.max_shift))))
+        else:
+            shift = args.max_shift
+        batch = synth(sub, jnp.asarray(next(stream)), jnp.float32(shift))
+        batch["key"] = mkey
         params, opt_state, loss = step(params, opt_state, prep(batch))
         if i % args.log_every == 0:
             logger.info("step %d  loss %.4f  (%.2f s/step)", i, float(loss),

@@ -58,13 +58,22 @@ def conv2d(p, x, stride=1, padding=0, dtype=None):
     if dtype is not None:
         w = w.astype(dtype)
         x = x.astype(dtype)
-    out = jax.lax.conv_general_dilated(
-        x, w,
-        window_strides=stride,
-        padding=((padding[0], padding[0]), (padding[1], padding[1])),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=_PRECISION,
-        preferred_element_type=jnp.float32)
+    if (w.shape[0] == 1 and w.shape[1] == 1 and stride == (1, 1)
+            and padding == (0, 0)):
+        # 1x1 conv as a plain matmul: direct MXU mapping, and GSPMD
+        # partitions dots cleanly where its conv rewrite falls over
+        # (batch-sharded conv -> feature_group_count with out=1 channels)
+        out = jnp.einsum("nhwi,io->nhwo", x, w[0, 0],
+                         precision=_PRECISION,
+                         preferred_element_type=jnp.float32)
+    else:
+        out = jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=stride,
+            padding=((padding[0], padding[0]), (padding[1], padding[1])),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=_PRECISION,
+            preferred_element_type=jnp.float32)
     if "bias" in p and p["bias"] is not None:
         out = out + p["bias"].astype(out.dtype)
     return out

@@ -18,12 +18,13 @@ import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
-def sharded_train_step(mesh, cfg, tcfg, tx):
+def sharded_train_step(mesh, cfg, tcfg, tx, with_key=False):
     """jit a training step with batch sharded (dp, sp) and replicated params.
 
     Returns ``step(params, opt_state, batch)`` — batch arrays sharded
     batch-over-dp, width-over-sp; XLA inserts halo exchange for the convs
-    and psum for the gradient reduction.
+    and psum for the gradient reduction. ``with_key=True`` admits the
+    replicated PRNG key the Sobol-mask subsampling uses (training/train.py).
     """
     from ..training.train import make_train_step
 
@@ -33,6 +34,8 @@ def sharded_train_step(mesh, cfg, tcfg, tx):
         "img2": NamedSharding(mesh, P("dp", None, "sp", None)),
         "h_gt": NamedSharding(mesh, P("dp", None, None)),
     }
+    if with_key:
+        batch_spec["key"] = NamedSharding(mesh, P())
     rep = NamedSharding(mesh, P())
     return jax.jit(step,
                    in_shardings=(rep, rep, batch_spec),

@@ -421,6 +421,8 @@ class WOFTTracker:
             mask = cv2.resize(mask, None, fx=1 / self.tp.downscale,
                               fy=1 / self.tp.downscale)
         img_small, device_img = self._prep(img)
+        self.np_template_img = np.ascontiguousarray(img_small)   # BGR host
+        self.np_prev_img = self.np_template_img
         self.np_template_mask = np.asarray(mask)
         contours, _ = cv2.findContours(np.uint8(mask > 0), cv2.RETR_EXTERNAL,
                                        cv2.CHAIN_APPROX_NONE)
@@ -463,13 +465,20 @@ class WOFTTracker:
             self._fast_forward = None
             return H, meta
 
-        _, device_img = self._prep(input_img)
+        img_small, device_img = self._prep(input_img)
         self.state, H_dev, meta_dev = self._step(self.flower.params,
                                                  self.state, device_img)
         H = np.asarray(H_dev, np.float64)
         meta = SimpleNamespace(
             **{k: np.asarray(v) for k, v in meta_dev.items()})
         meta.estim_H_current2template = H.copy()
+
+        if debug:
+            meta.debug_vis = self._debug_vis(
+                np.ascontiguousarray(img_small),
+                np.asarray(meta.H_global_cur2init, np.float64),
+                np.asarray(meta.last_good_H2init, np.float64))
+        self.np_prev_img = np.ascontiguousarray(img_small)
 
         if self.tp.downscale:
             # compensate the output H for the input downscale (ref:YAOF:280-283)
@@ -479,3 +488,61 @@ class WOFTTracker:
             H_up = np.diag([s, s, 1.0])
             H = np_compose_h(H_down, np.asarray(H_dev, np.float64), H_up)
         return H, meta
+
+    def _debug_vis(self, input_bgr, H_global, last_good):
+        """Render the reference's ``track(debug=True)`` overlays headlessly
+        (ref:YAOF_tracker_single_control.py:209-265): weight-coloured TC
+        arrows on the prewarped pair, local-flow arrows, alignment blends,
+        template TC scatter. Returns {name: BGR image} — the demo writes
+        them to disk (no cv2.imshow: CI has no display)."""
+        import cv2
+        from ..utils import vis as vis_utils
+
+        Hh, Ww = input_bgr.shape[:2]
+        prewarped = cv2.warpPerspective(input_bgr, last_good, (Ww, Hh))
+
+        # weight-coloured TC arrows, masked to the template (extra flow
+        # pass with numpy_out, exactly like the reference)
+        pw = self.flower.compute_flow(self.np_template_img, prewarped,
+                                      mode="flow", numpy_out=True,
+                                      do_sigmoid=True)
+        pw_flow = np.transpose(pw[0], (1, 2, 0))            # (H, W, 2)
+        pw_weights = pw[1] if pw[1] is not None else np.ones((Hh, Ww))
+        colors = vis_utils.cv2_colormap(pw_weights, vmin=0, vmax=1)
+        alpha = (self.np_template_mask.reshape(-1, 1) > 0).astype(np.uint8)
+        arrow_color = np.concatenate(
+            [colors.reshape(-1, 3), alpha * 255], axis=1)
+        vis_pw_flow = vis_utils.vis_flow_align(
+            pw_flow, self.np_template_img, prewarped, grid_sz=10,
+            arrow_color=arrow_color, pt_radius=3, show_flow=False)
+
+        # local (prev -> current) flow arrows
+        lf = self.flower.compute_flow(self.np_prev_img, input_bgr,
+                                      mode="flow", numpy_out=True)
+        local_flow = np.transpose(lf[0], (1, 2, 0))
+        vis_local_flow = vis_utils.vis_flow_align(
+            local_flow, self.np_prev_img, input_bgr, grid_sz=30)
+
+        # alignment blends + composition
+        local_align = vis_utils.vis_alignment_plain(self.np_prev_img,
+                                                    input_bgr)
+        prewarp_align = vis_utils.vis_alignment_plain(self.np_template_img,
+                                                      prewarped)
+        afterwarped = cv2.warpPerspective(input_bgr, H_global, (Ww, Hh),
+                                          flags=cv2.INTER_LINEAR)
+        afterwarp_align = vis_utils.vis_alignment_plain(
+            self.np_template_img, afterwarped)
+        composition = vis_utils.tile(vis_utils.griddify(
+            vis_utils.name_fig(
+                [local_align, prewarp_align, afterwarp_align],
+                ["local flow", "prewarped", "afterwarped"]), cols=1))
+
+        # template TC scatter
+        canvas = self.np_template_img.copy()
+        ys, xs = np.where(self.np_template_mask > 0)
+        for i in range(0, len(xs), max(1, len(xs) // 500)):
+            cv2.circle(canvas, (int(xs[i]), int(ys[i])), radius=2,
+                       color=(255, 255, 255), thickness=-1)
+
+        return {"pw_flow": vis_pw_flow, "local_flow": vis_local_flow,
+                "composition": composition, "template_points": canvas}

@@ -106,3 +106,87 @@ class FlowAugmentor:
         img1, img2, flow = self.spatial_transform(rng, img1, img2, flow)
         return (np.ascontiguousarray(img1), np.ascontiguousarray(img2),
                 np.ascontiguousarray(flow))
+
+
+def resize_sparse_flow_map(flow, valid, fx=1.0, fy=1.0):
+    """Sparse-flow-preserving resize (ref:augmentor.py:161-192): valid flow
+    vectors are scatter-placed (not interpolated — bilinear resize would
+    bleed into the invalid holes) at their scaled integer positions."""
+    ht, wd = flow.shape[:2]
+    xs, ys = np.meshgrid(np.arange(wd), np.arange(ht))
+    coords = np.stack([xs, ys], axis=-1).reshape(-1, 2).astype(np.float32)
+    flow = flow.reshape(-1, 2).astype(np.float32)
+    valid = valid.reshape(-1).astype(np.float32)
+
+    coords0 = coords[valid >= 1]
+    flow0 = flow[valid >= 1]
+
+    ht1 = int(round(ht * fy))
+    wd1 = int(round(wd * fx))
+    coords1 = coords0 * [fx, fy]
+    flow1 = flow0 * [fx, fy]
+
+    xx = np.round(coords1[:, 0]).astype(np.int32)
+    yy = np.round(coords1[:, 1]).astype(np.int32)
+    keep = (xx > 0) & (xx < wd1) & (yy > 0) & (yy < ht1)
+
+    flow_img = np.zeros([ht1, wd1, 2], np.float32)
+    valid_img = np.zeros([ht1, wd1], np.int32)
+    flow_img[yy[keep], xx[keep]] = flow1[keep]
+    valid_img[yy[keep], xx[keep]] = 1
+    return flow_img, valid_img
+
+
+class SparseFlowAugmentor(FlowAugmentor):
+    """Augmentor for sparse-GT datasets (KITTI/HD1K): the spatial path
+    preserves flow sparsity via scatter-resize, never stretches, and crops
+    with the reference's margin rules (ref:augmentor.py:122-246)."""
+
+    def __init__(self, crop_size, min_scale=-0.2, max_scale=0.5,
+                 do_flip=False, **kw):
+        super().__init__(crop_size, min_scale=min_scale, max_scale=max_scale,
+                         do_flip=do_flip, **kw)
+
+    def spatial_transform_sparse(self, rng, img1, img2, flow, valid):
+        import cv2
+        ht, wd = img1.shape[:2]
+        min_scale = max((self.crop_size[0] + 1) / float(ht),
+                        (self.crop_size[1] + 1) / float(wd))
+        scale = 2 ** rng.uniform(self.min_scale, self.max_scale)
+        scale_x = scale_y = max(scale, min_scale)   # no stretch (sparse)
+
+        if rng.random() < self.spatial_aug_prob:
+            img1 = cv2.resize(img1, None, fx=scale_x, fy=scale_y,
+                              interpolation=cv2.INTER_LINEAR)
+            img2 = cv2.resize(img2, None, fx=scale_x, fy=scale_y,
+                              interpolation=cv2.INTER_LINEAR)
+            flow, valid = resize_sparse_flow_map(flow, valid,
+                                                 fx=scale_x, fy=scale_y)
+
+        if self.do_flip and rng.random() < self.h_flip_prob:
+            img1 = img1[:, ::-1]
+            img2 = img2[:, ::-1]
+            flow = flow[:, ::-1] * [-1.0, 1.0]
+            valid = valid[:, ::-1]
+
+        # crop with the reference's asymmetric margins
+        margin_y, margin_x = 20, 50
+        y0 = rng.integers(0, img1.shape[0] - self.crop_size[0] + margin_y)
+        x0 = rng.integers(-margin_x,
+                          img1.shape[1] - self.crop_size[1] + margin_x)
+        y0 = int(np.clip(y0, 0, img1.shape[0] - self.crop_size[0]))
+        x0 = int(np.clip(x0, 0, img1.shape[1] - self.crop_size[1]))
+        sl = np.s_[y0:y0 + self.crop_size[0], x0:x0 + self.crop_size[1]]
+        return img1[sl], img2[sl], flow[sl], valid[sl]
+
+    def __call__(self, img1, img2, flow, valid, rng=None):
+        rng = rng or np.random.default_rng()
+        img1 = img1.astype(np.float32)
+        img2 = img2.astype(np.float32)
+        img1, img2 = self.color_transform(rng, img1, img2)
+        img1, img2 = self.eraser_transform(rng, img1, img2.copy())
+        img1, img2, flow, valid = self.spatial_transform_sparse(
+            rng, img1, img2, flow, valid)
+        return (np.ascontiguousarray(img1), np.ascontiguousarray(img2),
+                np.ascontiguousarray(flow),
+                np.ascontiguousarray(valid).astype(np.float32))

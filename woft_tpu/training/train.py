@@ -23,11 +23,12 @@ import optax
 
 from ..geometry.homography import find_homography_wls_qr, reproj_errors
 from ..models.raft import RaftConfig, weighted_raft_forward
+from ..ops.sampling import masked_sobol_gather
 
 
 @dataclass(frozen=True)
 class TrainConfig:
-    max_tc: int = 2000           # ref: max_TC = 2000
+    max_tc: int = 2000           # ref: max_TC = 2000 (grid mode)
     max_loss: float = 100.0      # ref: max_loss = 100
     learning_rate: float = 1e-3  # weight-head-only
     train_flow: bool = False     # fine-tune the whole net (ref lr 1e-5)
@@ -37,6 +38,9 @@ class TrainConfig:
                                  # H-induced field (from-scratch training;
                                  # 0 = pure reference loss)
     epe_clip: float = 50.0
+    subsample: str = "sobol"     # 'sobol' (tracker-matched: Sobol-n of
+                                 # masked, in-bounds points) | 'grid'
+    sobol_n: int = 500           # tracker subsample budget (configs/WOFT.py:36)
 
 
 def _subsample_grid(H, W, n):
@@ -47,26 +51,71 @@ def _subsample_grid(H, W, n):
     return jnp.clip(idx, 0, hw - 1)
 
 
+def _random_rect_mask(key, H, W):
+    """Random rectangular 'target mask' covering 30-90% of each dim —
+    stand-in for the tracker's template mask so training subsamples from
+    the same masked-region distribution the tracker serves."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    fh = jax.random.uniform(k1, (), minval=0.3, maxval=0.9)
+    fw = jax.random.uniform(k2, (), minval=0.3, maxval=0.9)
+    y0 = jax.random.uniform(k3, ()) * (1.0 - fh) * H
+    x0 = jax.random.uniform(k4, ()) * (1.0 - fw) * W
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
+    return ((ys >= y0) & (ys < y0 + fh * H)
+            & (xs >= x0) & (xs < x0 + fw * W))
+
+
 def woft_loss(params, cfg: RaftConfig, tcfg: TrainConfig, batch):
-    """Reprojection loss through the differentiable homography fit."""
+    """Reprojection loss through the differentiable homography fit.
+
+    With ``subsample='sobol'`` (default) the TC selection matches the
+    tracker exactly: a Sobol-``sobol_n`` gather over masked, in-bounds
+    points (tracker/woft.py:_select_tcs) — the weight head trains under
+    the distribution it serves. ``batch['key']`` (optional) randomises
+    the stand-in target masks; 'grid' keeps the round-1 stride grid."""
     out = weighted_raft_forward(params, cfg, batch["img1"], batch["img2"])
     flow = out["flow_up"]                              # (B, H, W, 2)
     weights = jax.nn.sigmoid(out["weights_up"])        # (B, H, W, 1)
     B, H, W, _ = flow.shape
+    hw = H * W
 
-    idx = _subsample_grid(H, W, tcfg.max_tc)           # (n,)
-    xs = (idx % W).astype(jnp.float32)
-    ys = (idx // W).astype(jnp.float32)
-    src = jnp.broadcast_to(jnp.stack([xs, ys], -1)[None],
-                           (B, idx.shape[0], 2))       # (B, n, 2)
-    dflow = flow.reshape(B, H * W, 2)[:, idx]
-    dst = src + dflow
-    w = weights.reshape(B, H * W)[:, idx]
+    if tcfg.subsample == "sobol":
+        xs = (jnp.arange(hw) % W).astype(jnp.float32)
+        ys = (jnp.arange(hw) // W).astype(jnp.float32)
+        src_all = jnp.stack([xs, ys], -1)              # (HW, 2)
+        dst_all = src_all[None] + flow.reshape(B, hw, 2)
+        inb = ((dst_all[..., 0] >= 0) & (dst_all[..., 0] <= W - 1)
+               & (dst_all[..., 1] >= 0) & (dst_all[..., 1] <= H - 1))
+        if "key" in batch:
+            mkeys = jax.random.split(batch["key"], B)
+            masks = jax.vmap(
+                lambda k: _random_rect_mask(k, H, W))(mkeys)   # (B, H, W)
+            valid = masks.reshape(B, hw) & inb
+        else:
+            valid = inb
+        idx, sel = jax.vmap(
+            lambda v: masked_sobol_gather(v, tcfg.sobol_n))(valid)
+        sel = sel.astype(jnp.float32)                  # (B, n)
+        take = jax.vmap(lambda a, i: a[i])
+        src = take(jnp.broadcast_to(src_all[None], (B, hw, 2)), idx)
+        dst = take(dst_all, idx)
+        w = take(weights.reshape(B, hw), idx) * sel
+    else:
+        idx = _subsample_grid(H, W, tcfg.max_tc)       # (n,)
+        xs = (idx % W).astype(jnp.float32)
+        ys = (idx // W).astype(jnp.float32)
+        src = jnp.broadcast_to(jnp.stack([xs, ys], -1)[None],
+                               (B, idx.shape[0], 2))   # (B, n, 2)
+        dst = src + flow.reshape(B, hw, 2)[:, idx]
+        w = weights.reshape(B, hw)[:, idx]
+        sel = jnp.ones(src.shape[:2])
 
     h_est = find_homography_wls_qr(src, dst, w)        # (B, 3, 3)
     pts = jnp.swapaxes(src, 1, 2)                      # (B, 2, n)
     errs = reproj_errors(batch["h_gt"], h_est, pts)    # (B, n)
-    loss = jnp.mean(jnp.clip(errs, 0.0, tcfg.max_loss))
+    errs = jnp.clip(errs, 0.0, tcfg.max_loss) * sel
+    loss = jnp.sum(errs) / jnp.maximum(jnp.sum(sel), 1.0)
 
     if tcfg.epe_weight:
         # dense supervision: the GT homography induces the exact flow field
@@ -74,9 +123,10 @@ def woft_loss(params, cfg: RaftConfig, tcfg: TrainConfig, batch):
         proj = jnp.einsum("bij,bnj->bni", batch["h_gt"],
                           jnp.concatenate([src, ones], -1))
         gt_dst = proj[..., :2] / proj[..., 2:3]
-        epe = jnp.linalg.norm(dst - gt_dst, axis=-1)   # (B, n)
-        loss = loss + tcfg.epe_weight * jnp.mean(
-            jnp.clip(epe, 0.0, tcfg.epe_clip))
+        epe = jnp.linalg.norm(dst - gt_dst, axis=-1) * sel   # (B, n)
+        loss = loss + tcfg.epe_weight * (
+            jnp.sum(jnp.clip(epe, 0.0, tcfg.epe_clip))
+            / jnp.maximum(jnp.sum(sel), 1.0))
     return loss
 
 

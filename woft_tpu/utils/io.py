@@ -95,30 +95,50 @@ def video_seek_frame_name(query_frame_name, frame_paths):
 
 
 class LookaheadIter:
-    """Iterator with non-consuming lookahead/peek (ref:io.py:55-78)."""
+    """Iterator with non-consuming lookahead/peek.
 
-    def __init__(self, it):
-        from collections import deque
-        self._iter = iter(it)
-        self._ahead = deque()
+    Functional twin of the reference utility (ref:io.py:55-78), re-built on
+    an explicit staging buffer with on-demand fill instead of generator
+    side effects: ``lookahead()`` walks (and extends) the buffer by index,
+    ``__next__`` drains it before touching the source."""
+
+    def __init__(self, iterable):
+        self._source = iter(iterable)
+        self._staged = []
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        if self._ahead:
-            return self._ahead.popleft()
-        return next(self._iter)
+        if self._staged:
+            return self._staged.pop(0)
+        return next(self._source)
+
+    def _fill_to(self, n):
+        """Stage items until ``n`` are buffered; False if the source ends
+        first."""
+        while len(self._staged) < n:
+            try:
+                self._staged.append(next(self._source))
+            except StopIteration:
+                return False
+        return True
 
     def lookahead(self):
-        for x in self._ahead:
-            yield x
-        for x in self._iter:
-            self._ahead.append(x)
-            yield x
+        """Yield upcoming items without consuming them."""
+        i = 0
+        while self._fill_to(i + 1):
+            yield self._staged[i]
+            i += 1
 
     def peek(self, *default):
-        return next(iter(self.lookahead()), *default)
+        """First upcoming item; ``default`` if exhausted (StopIteration
+        when exhausted and no default given)."""
+        if self._fill_to(1):
+            return self._staged[0]
+        if default:
+            return default[0]
+        raise StopIteration
 
 
 def load_maybe_gzipped_pkl(path):

@@ -96,6 +96,61 @@ def flow_to_image(flow, clip_flow=None):
     return cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
 
 
+def vis_flow_align(flow, img_a, img_b, grid_sz=20, arrow_color=None,
+                   pt_radius=2, show_flow=True, weights=None):
+    """Side-by-side correspondence visualisation: img_a | img_b with each
+    grid point linked to its flow target, per-point coloured
+    (ref:vis_utils.py:831-928 — the tracker's debug renderer).
+
+    Args:
+        flow: (H, W, 2) flow img_a -> img_b.
+        arrow_color: optional (H*W, 3|4) per-pixel BGR(A) colors; alpha 0
+            (4th channel) skips a point — the reference masks TCs this way.
+        weights: optional (H, W) reliabilities -> red-to-green coloring
+            when ``arrow_color`` is not given.
+    """
+    import cv2
+    H, W = flow.shape[:2]
+    canvas = np.hstack([img_a, img_b]).astype(np.uint8).copy()
+    for y in range(grid_sz // 2, H, grid_sz):
+        for x in range(grid_sz // 2, W, grid_sz):
+            if arrow_color is not None:
+                c = arrow_color[y * W + x]
+                if len(c) > 3 and c[3] == 0:
+                    continue
+                color = tuple(int(v) for v in c[:3])
+            elif weights is not None:
+                w = float(np.clip(weights[y, x], 0, 1))
+                color = (int(255 * (1 - w)), int(255 * w), 0)
+            else:
+                color = (0, 255, 0)
+            dx, dy = flow[y, x]
+            tx, ty = int(round(x + dx)) + W, int(round(y + dy))
+            cv2.circle(canvas, (x, y), pt_radius, color, -1)
+            if 0 <= ty < H and W <= tx < 2 * W:
+                cv2.circle(canvas, (tx, ty), pt_radius, color, -1)
+                if show_flow:
+                    cv2.line(canvas, (x, y), (tx, ty), color, 1)
+    return canvas
+
+
+def name_fig(images, names):
+    """Stamp a name onto each image (ref:vis_utils.py:434-504)."""
+    out = []
+    for im, name in zip(images, names):
+        im = im.copy()
+        if im.ndim == 2:
+            im = np.dstack([im] * 3)
+        out.append(draw_text(im, name))
+    return out
+
+
+def tile(image):
+    """Identity hook kept for reference-API shape (the reference's tile
+    resizes grid cells; griddify already emits one canvas)."""
+    return image
+
+
 def checkerboard(h, w, sq=8):
     """(ref:vis_utils.py:931-941)."""
     ys, xs = np.mgrid[0:h, 0:w]
