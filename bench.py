@@ -20,6 +20,13 @@ Env knobs:
                                 production path for large frames) | 'full'
                                 (canonical full-frame pipeline)
   WOFT_BENCH_WINDOW             window size for the window tracker (256)
+  WOFT_BENCH_REDETECT           'always' (default happy path) | 'inliers'
+                                (canonical redetection: loads the trained
+                                checkpoint so the inlier check passes on
+                                matching frames, and benches real video-like
+                                motion incl. the lax.cond fallback cost)
+  WOFT_BENCH_CORR               correlation lookup impl override
+  WOFT_BENCH_CKPT               checkpoint dir (default weights/wraft_tpu_v2)
 """
 
 import json
@@ -30,24 +37,72 @@ import time
 import numpy as np
 
 
+def _make_cfg(jax, precision):
+    from woft_tpu.models.raft import RaftConfig
+    kw = {}
+    impl = os.environ.get("WOFT_BENCH_CORR")
+    if impl:
+        kw["corr_impl"] = impl
+    return RaftConfig(variant="weighted", iters=12, precision=precision,
+                      **kw)
+
+
+def _params_and_redetect(jax, cfg):
+    """Happy path: random weights + redetection='always'. Unhappy path
+    (WOFT_BENCH_REDETECT=inliers): trained checkpoint + the canonical
+    inlier-fraction redetection ladder."""
+    from woft_tpu.models.raft import init_raft_params
+    redetect = os.environ.get("WOFT_BENCH_REDETECT", "always")
+    params = init_raft_params(jax.random.PRNGKey(0), cfg)
+    if redetect != "always":
+        from woft_tpu.models.checkpoint import load_checkpoint
+        ckpt = os.environ.get("WOFT_BENCH_CKPT", "weights/wraft_tpu_v2")
+        params = load_checkpoint(ckpt, like=params)
+    return params, redetect
+
+
+def _video_frames(jnp, H, W, n=6):
+    """Synthetic 'video': textured base frame warped by a drifting
+    homography (cv2, host) — real-motion input for the inliers bench."""
+    import cv2
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+    base = cv2.GaussianBlur(base, (0, 0), 3.0) * 4.0 + 96.0
+    frames = [jnp.asarray(base)[None]]
+    for i in range(1, n):
+        t = 3.0 * i
+        a = 0.004 * i
+        Hm = np.array([[np.cos(a), -np.sin(a), t],
+                       [np.sin(a), np.cos(a), 0.7 * t],
+                       [1e-6 * i, 0, 1.0]], np.float32)
+        f = cv2.warpPerspective(base, Hm, (W, H), flags=cv2.INTER_LINEAR)
+        frames.append(jnp.asarray(f)[None])
+    return frames
+
+
 def bench_full(jax, jnp, H, W, n_frames, precision):
-    from woft_tpu.models.raft import RaftConfig, init_raft_params
     from woft_tpu.tracker import (TrackerParams, build_track_step,
                                   tracker_init_state)
 
-    cfg = RaftConfig(variant="weighted", iters=12, precision=precision)
-    tp = TrackerParams(padding_mode="nopad", redetection="always")
-    params = init_raft_params(jax.random.PRNGKey(0), cfg)
+    cfg = _make_cfg(jax, precision)
+    params, redetect = _params_and_redetect(jax, cfg)
+    tp = TrackerParams(padding_mode="nopad", redetection=redetect)
 
     rng = np.random.default_rng(0)
-    template = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)), jnp.float32)
     mask = np.zeros((H, W), bool)
     mask[H // 4:3 * H // 4, W // 4:3 * W // 4] = True
 
+    if redetect == "always":
+        template = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)),
+                               jnp.float32)
+        frames = [jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)),
+                              jnp.float32) for _ in range(4)]
+    else:
+        frames = _video_frames(jnp, H, W)
+        template = frames[0]
+
     state = tracker_init_state(params, cfg, tp, template, jnp.asarray(mask))
     step = build_track_step(cfg, tp)
-    frames = [jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)), jnp.float32)
-              for _ in range(4)]
 
     state, h, meta = step(params, state, frames[0])
     _ = np.asarray(h)          # force compile + run
@@ -61,26 +116,30 @@ def bench_full(jax, jnp, H, W, n_frames, precision):
 
 def bench_window(jax, jnp, H, W, n_frames, precision, window):
     """Device-resident window step: zero per-frame host round trips."""
-    from woft_tpu.models.raft import RaftConfig, init_raft_params
     from woft_tpu.tracker import TrackerParams
     from woft_tpu.tracker.window_step import (WindowParams,
                                               build_window_track_step,
                                               window_init_state)
 
-    cfg = RaftConfig(variant="weighted", iters=12, precision=precision)
-    tp = TrackerParams(padding_mode="nopad", redetection="always")
+    cfg = _make_cfg(jax, precision)
+    params, redetect = _params_and_redetect(jax, cfg)
+    tp = TrackerParams(padding_mode="nopad", redetection=redetect)
     wp = WindowParams(size=window)
-    params = init_raft_params(jax.random.PRNGKey(0), cfg)
 
     rng = np.random.default_rng(0)
-    base = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)), jnp.float32)
     mask = np.zeros((H, W), bool)
     mask[H // 3:2 * H // 3, W // 3:2 * W // 3] = True
 
+    if redetect == "always":
+        base = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)), jnp.float32)
+        frames = [jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)),
+                              jnp.float32) for _ in range(4)]
+    else:
+        frames = _video_frames(jnp, H, W)
+        base = frames[0]
+
     state = window_init_state(params, cfg, tp, wp, base, jnp.asarray(mask))
     step = build_window_track_step(cfg, tp, wp)
-    frames = [jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)), jnp.float32)
-              for _ in range(4)]
 
     state, h, meta = step(params, state, frames[0])
     _ = np.asarray(h)
@@ -149,10 +208,12 @@ def main():
     H -= H % 8
     W -= W % 8
 
+    redetect = os.environ.get("WOFT_BENCH_REDETECT", "always")
+    suffix = "" if redetect == "always" else f", redetect={redetect}"
     if mode == "window":
         fps = bench_window(jax, jnp, H, W, n_frames, precision, window)
         label = (f"tracked {H}x{W} frames/sec/chip (window-{window} "
-                 f"WeightedRAFT-12 + wLSq fit, {precision})")
+                 f"WeightedRAFT-12 + wLSq fit, {precision}{suffix})")
     elif mode == "multi":
         n_targets = int(os.environ.get("WOFT_BENCH_TARGETS", 8))
         fps = bench_multi(jax, jnp, H, W, n_frames, precision, window,
@@ -162,7 +223,7 @@ def main():
     else:
         fps = bench_full(jax, jnp, H, W, n_frames, precision)
         label = (f"tracked {H}x{W} frames/sec/chip (full-frame "
-                 f"WeightedRAFT-12 + wLSq fit, {precision})")
+                 f"WeightedRAFT-12 + wLSq fit, {precision}{suffix})")
 
     print(json.dumps({
         "metric": label,

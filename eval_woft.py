@@ -34,6 +34,11 @@ def parse_args():
     p.add_argument("--seqs", type=int, default=3)
     p.add_argument("--step-px", type=float, default=3.0)
     p.add_argument("--noise", type=float, default=0.0)
+    p.add_argument("--stress", action="store_true",
+                   help="hard trajectories: 8px/frame steps, strong "
+                        "rotation/perspective, sensor noise, and a large "
+                        "motion jolt every 10 frames — exercises the "
+                        "inlier-check redetection ladder end-to-end")
     p.add_argument("--downscale", type=int, default=0,
                    help="downscale base frames before evaluation")
     p.add_argument("--seed", type=int, default=0)
@@ -130,9 +135,16 @@ def main():
         mask = np.zeros((H, W), np.uint8)
         mask[H // 4:3 * H // 4, W // 4:3 * W // 4] = 255
 
+        traj_kwargs = dict(max_step_px=args.step_px)
+        noise = args.noise
+        if args.stress:
+            traj_kwargs = dict(max_step_px=max(args.step_px, 8.0),
+                               max_rot=0.02, max_scale=0.01, max_persp=1e-5,
+                               jump_every=10, jump_px=30.0)
+            noise = max(noise, 3.0)
         metrics, h_pred, h_gt = evaluate_tracker_synthetic(
             tracker, base, mask, n_frames=args.frames, seed=args.seed + s,
-            noise=args.noise, max_step_px=args.step_px)
+            noise=noise, **traj_kwargs)
         logger.info("seq %d: %s", s, metrics)
         all_metrics.append(metrics)
 

@@ -70,3 +70,26 @@ def test_static_tracker_accumulates_error():
     metrics, _, _ = evaluate_tracker_synthetic(
         ConstantTracker(), base, mask, n_frames=10, seed=3, max_step_px=5.0)
     assert metrics["mean_px"] > 1.0
+
+
+def test_stress_trajectory_has_jumps():
+    """jump_every injects large per-frame motion (redetection stressor)
+    while the default walk stays smooth."""
+    rng = np.random.default_rng(0)
+    smooth = synth_trajectory(rng, 30, 96, 128, max_step_px=4.0)
+    rng = np.random.default_rng(0)
+    jumpy = synth_trajectory(rng, 30, 96, 128, max_step_px=4.0,
+                             jump_every=10, jump_px=40.0)
+
+    def step_mags(hs):
+        c = np.array([[64.0], [48.0]])
+        from woft_tpu.geometry import np_h_proj
+        return np.array([
+            np.linalg.norm(np_h_proj(np.linalg.inv(hs[t + 1]) @ hs[t], c)
+                           - c)
+            for t in range(len(hs) - 1)])
+
+    ms, mj = step_mags(smooth), step_mags(jumpy)
+    assert ms.max() < 15.0
+    assert mj.max() > 30.0          # the jolt is visible
+    assert (mj > 30.0).sum() <= 4   # but rare

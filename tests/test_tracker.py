@@ -262,3 +262,34 @@ def test_weight_masking_rejects_outlier_region(setup):
                                jnp.asarray(mask), encode=False)
     state, H, meta = step({}, state, jnp.asarray(template)[None])
     assert np.allclose(np.asarray(H), np.eye(3), atol=1e-2), np.asarray(H)
+
+
+def test_sparse_weight_path_matches_dense():
+    """The sparse weight-head path (head + convex upsample evaluated only
+    at solver cells) must reproduce the dense path's fit exactly."""
+    import jax
+    from woft_tpu.models.raft import init_raft_params
+
+    cfg = RaftConfig(variant="weighted", iters=2)
+    params = init_raft_params(jax.random.PRNGKey(3), cfg)
+    template = checker_frame()
+    mask = make_mask()
+    frame = warp_perspective(
+        jnp.asarray(template)[None],
+        jnp.asarray(np.array([[1.0, 0.01, 1.5], [0.0, 1.0, -0.8],
+                              [0, 0, 1.0]], np.float32)))
+
+    for redet in ("always", "never"):
+        hs = {}
+        for sparse in (False, True):
+            tp = TrackerParams(padding_mode="nopad", redetection=redet,
+                               sparse_weights=sparse)
+            step = build_track_step(cfg, tp)
+            state = tracker_init_state(params, cfg, tp,
+                                       jnp.asarray(template)[None],
+                                       jnp.asarray(mask))
+            _, H, meta = step(params, state, frame)
+            hs[sparse] = np.asarray(H)
+            assert np.isfinite(hs[sparse]).all()
+        np.testing.assert_allclose(hs[True], hs[False], atol=1e-4,
+                                   rtol=1e-4)

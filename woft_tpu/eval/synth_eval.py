@@ -14,13 +14,19 @@ from .metrics import alignment_error, success_rates
 
 
 def synth_trajectory(rng, n_frames, height, width, *, max_step_px=4.0,
-                     max_rot=0.004, max_scale=0.003, max_persp=2e-6):
+                     max_rot=0.004, max_scale=0.003, max_persp=2e-6,
+                     jump_every=0, jump_px=0.0):
     """Smooth random homography walk.
+
+    ``jump_every > 0`` injects a large translation jolt every that many
+    frames (breaking trajectory smoothness) — the stress mode that trips
+    the inlier check and exercises the redetection/fallback ladder
+    end-to-end with a real network.
 
     Returns (T, 3, 3) H_cur2init: frame t pixels -> frame 0 pixels."""
     hs = [np.eye(3)]
     step = np.eye(3)
-    for _ in range(n_frames - 1):
+    for t in range(n_frames - 1):
         jitter = np.eye(3)
         ang = rng.uniform(-max_rot, max_rot)
         scale = 1.0 + rng.uniform(-max_scale, max_scale)
@@ -33,7 +39,13 @@ def synth_trajectory(rng, n_frames, height, width, *, max_step_px=4.0,
         # smooth: blend the per-frame step towards the new jitter
         step = 0.8 * step + 0.2 * jitter
         step /= step[2, 2]
-        hs.append(np_compose_h(np.linalg.inv(step), hs[-1]))
+        inst = step
+        if jump_every and (t + 1) % jump_every == 0:
+            jolt = np.eye(3)
+            jolt[0, 2] = rng.choice([-1, 1]) * jump_px
+            jolt[1, 2] = rng.choice([-1, 1]) * jump_px * 0.5
+            inst = jolt @ step
+        hs.append(np_compose_h(np.linalg.inv(inst), hs[-1]))
     return np.stack(hs)
 
 

@@ -47,6 +47,73 @@ def corr_pyramid(corr, num_levels=4):
     return pyramid
 
 
+def corr_mean_response(fmap1, fmap2):
+    """Mean of each query's level-0 cost-volume row, from features only.
+
+    ``mean_p <f1_q, f2_p> / sqrt(D) == <f1_q, mean_p f2_p> / sqrt(D)`` —
+    O(Q*D) instead of an O(Q*H*W) volume reduction
+    (ref:weighted_raft.py:274). Returns (B, H, W) f32."""
+    B, H, W, D = fmap1.shape
+    scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
+    return jnp.einsum(
+        "bnd,bd->bn", fmap1.reshape(B, H * W, D).astype(jnp.float32),
+        jnp.mean(fmap2.reshape(B, -1, D).astype(jnp.float32), axis=1),
+        precision=jax.lax.Precision.HIGHEST).reshape(B, H, W) * scale
+
+
+def corr_pyramid_fused(fmap1, fmap2, num_levels=4, pad=0, out_dtype=None,
+                       precision=jax.lax.Precision.HIGHEST):
+    """Build the correlation pyramid directly from pooled feature maps.
+
+    The reference materializes the level-0 all-pairs volume and average-pools
+    it per level (ref:raft_core/corr.py:19-27). Correlation is linear in
+    fmap2, so ``avg_pool(corr(f1, f2)) == corr(f1, avg_pool(f2))`` and
+    ``zero-pad(corr(f1, f2)) == corr(f1, zero-pad(f2))`` (⟨f1, 0⟩ = 0 is
+    exactly grid_sample's zero border) — each level is ONE MXU einsum against
+    the pooled (optionally pre-padded) fmap2, and the multi-GB volume is
+    never re-read for pooling or padding. With ``pad > 0`` the returned
+    levels are (Q, Hl + 2*pad, Wl + 2*pad), ready for window lookups whose
+    clamped starts land inside the zero border.
+
+    Also returns ``mean_response`` (B, H1, W1): the mean of each query's
+    *unpadded* level-0 row equals ``⟨f1_q, mean_p(f2_p)⟩`` — computed from
+    features in O(Q·D) instead of an O(Q·H·W) volume reduction
+    (ref:weighted_raft.py:274 ``corr_fn.corr_map.mean(...)``).
+
+    Args:
+        fmap1, fmap2: (B, H, W, D) feature maps.
+        num_levels: pyramid depth.
+        pad: symmetric spatial zero pad per level (0 = reference layout).
+        out_dtype: volume storage dtype (None = einsum natural dtype; pass
+            jnp.bfloat16 to halve HBM traffic on the relaxed-precision path).
+    Returns:
+        (pyramid list [(Q, Hl+2p, Wl+2p)], mean_response (B, H, W)).
+    """
+    B, H, W, D = fmap1.shape
+    Q = B * H * W
+    scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
+    f1 = fmap1.reshape(B, H * W, D)
+    mean_response = corr_mean_response(fmap1, fmap2)
+
+    pyramid = []
+    lv = fmap2
+    for l in range(num_levels):
+        if pad:
+            lv_in = jnp.pad(lv, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        else:
+            lv_in = lv
+        hl, wl = lv_in.shape[1:3]
+        corr_l = jnp.einsum("bnd,bpd->bnp", f1,
+                            lv_in.reshape(B, hl * wl, D),
+                            precision=precision)
+        corr_l = (corr_l * scale.astype(corr_l.dtype)).reshape(Q, hl, wl)
+        pyramid.append(corr_l if out_dtype is None
+                       else corr_l.astype(out_dtype))
+        if l + 1 < num_levels:
+            lv = avg_pool2d(lv.astype(jnp.float32))
+    return pyramid, mean_response
+
+
 def _lookup_level(corr_l, coords, radius):
     """Sample one pyramid level.
 
@@ -180,6 +247,336 @@ def corr_lookup_dslice(padded_pyramid, coords, radius=4):
                  + (1 - fy) * fx * win[:, :k, 1:]
                  + fy * (1 - fx) * win[:, 1:, :k]
                  + fy * fx * win[:, 1:, 1:])                 # [q, j, i]
+        outs.append(jnp.swapaxes(blend, 1, 2).reshape(Q, k * k))
+    return jnp.concatenate(outs, axis=-1).reshape(B, H1, W1, -1)
+
+
+def corr_lookup_alternate(fmap1, fmap2, coords, radius=4, num_levels=4,
+                          chunk=4096):
+    """On-the-fly windowed correlation: the all-pairs volume is never built.
+
+    TPU-native analog of the reference's one CUDA kernel
+    (ref:pytracking/external/RAFT/alt_cuda_corr/correlation_kernel.cu:19-119,
+    raft_core/corr.py:72-100 ``AlternateCorrBlock``): for each pyramid level,
+    gather the (k+1)^2 integer feature taps of (pooled) fmap2 around each
+    query centroid, contract with the query's fmap1 feature, and blend the
+    four bilinear corners — all 81 window samples share one fractional
+    offset. Peak memory is O(chunk * (k+1)^2 * D) instead of O((H*W/64)^2),
+    which is what makes 4K+ full-frame tracking fit in HBM. Slower than the
+    materialized-volume path at 1080p (the feature gather moves ~100x more
+    bytes per window than a volume row) — this is the capability mode for
+    frames where the volume cannot exist.
+
+    Args:
+        fmap1, fmap2: (B, H1, W1, D) feature maps (level-0, 1/8 res).
+        coords: (B, H1, W1, 2) float (x, y) level-0 centroids.
+        radius: window radius; num_levels: pyramid depth.
+        chunk: queries per lax.map step (static memory bound).
+    Returns:
+        (B, H1, W1, L*(2r+1)^2), identical channel order and zero-padding
+        semantics to ``corr_lookup`` on the materialized pyramid.
+    """
+    B, H1, W1, D = fmap1.shape
+    Q = B * H1 * W1
+    k = 2 * radius + 1
+    scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
+    f1 = fmap1.reshape(Q, D)
+    bidx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), H1 * W1)     # (Q,)
+    flat_coords = coords.reshape(Q, 2)
+
+    n_pad = (-Q) % chunk
+    if n_pad:
+        f1 = jnp.pad(f1, ((0, n_pad), (0, 0)))
+        bidx = jnp.pad(bidx, (0, n_pad))
+        flat_coords = jnp.pad(flat_coords, ((0, n_pad), (0, 0)))
+    n_chunks = (Q + n_pad) // chunk
+
+    offs = jnp.arange(k + 1, dtype=jnp.int32) - radius             # (k+1,)
+    outs = []
+    lv = fmap2
+    for lvl in range(num_levels):
+        Hl, Wl = lv.shape[1:3]
+        f2_flat = lv.reshape(B * Hl * Wl, D)
+
+        def level_chunk(args, f2_flat=f2_flat, Hl=Hl, Wl=Wl, lvl=lvl):
+            f1_c, b_c, c_c = args
+            c = c_c / (2.0 ** lvl)
+            x0 = jnp.floor(c[:, 0])
+            y0 = jnp.floor(c[:, 1])
+            fx = (c[:, 0] - x0).astype(jnp.float32)[:, None, None]
+            fy = (c[:, 1] - y0).astype(jnp.float32)[:, None, None]
+            rows = y0.astype(jnp.int32)[:, None] + offs[None]      # (c,k+1)
+            cols = x0.astype(jnp.int32)[:, None] + offs[None]
+            valid = ((rows[:, :, None] >= 0) & (rows[:, :, None] < Hl)
+                     & (cols[:, None, :] >= 0) & (cols[:, None, :] < Wl))
+            idx = (b_c[:, None, None] * (Hl * Wl)
+                   + jnp.clip(rows, 0, Hl - 1)[:, :, None] * Wl
+                   + jnp.clip(cols, 0, Wl - 1)[:, None, :])        # (c,a,b)
+            taps = jnp.take(f2_flat, idx.reshape(-1), axis=0)
+            taps = taps.reshape(idx.shape + (D,))                  # (c,a,b,D)
+            win = jnp.einsum("cabd,cd->cab", taps, f1_c,
+                             preferred_element_type=jnp.float32)
+            win = win * valid.astype(win.dtype) * scale            # (c,a,b)
+            blend = ((1 - fy) * (1 - fx) * win[:, :k, :k]
+                     + (1 - fy) * fx * win[:, :k, 1:]
+                     + fy * (1 - fx) * win[:, 1:, :k]
+                     + fy * fx * win[:, 1:, 1:])                   # [c, j, i]
+            return jnp.swapaxes(blend, 1, 2).reshape(-1, k * k)
+
+        chunked = jax.lax.map(level_chunk,
+                              (f1.reshape(n_chunks, chunk, D),
+                               bidx.reshape(n_chunks, chunk),
+                               flat_coords.reshape(n_chunks, chunk, 2)))
+        outs.append(chunked.reshape(-1, k * k)[:Q])
+        if lvl + 1 < num_levels:
+            lv = avg_pool2d(lv.astype(jnp.float32))
+    return jnp.concatenate(outs, axis=-1).reshape(B, H1, W1, -1)
+
+
+class LocalCorrVolumes:
+    """Block-local recentered correlation pyramid (see build_local_corr)."""
+
+    def __init__(self, volumes, meta):
+        self.volumes = volumes    # list of (NB*BQ, wh_l, ww_l)
+        self.meta = meta          # static layout dict
+
+    def tree_flatten(self):
+        return (tuple(self.volumes), self.meta)
+
+    @classmethod
+    def tree_unflatten(cls, meta, volumes):
+        return cls(list(volumes), meta)
+
+
+jax.tree_util.register_pytree_node(
+    LocalCorrVolumes,
+    lambda v: v.tree_flatten(),
+    LocalCorrVolumes.tree_unflatten)
+
+
+def _local_layout(H1, W1, radius, num_levels, margin, block):
+    """Static geometry of the block-local volume (all python ints)."""
+    bh, bw = block
+    nbh = -(-H1 // bh)
+    nbw = -(-W1 // bw)
+    levels = []
+    hl, wl = H1, W1
+    for l in range(num_levels):
+        m_l = max(margin >> l, radius + 1)
+        pad_l = m_l + radius + 1
+        sh, sw = bh >> l, bw >> l                 # query-center span
+        wh = sh + 2 * pad_l
+        ww = sw + 2 * pad_l
+        # padded level size must cover the last block's window
+        hp = max(hl + 2 * pad_l, (nbh - 1) * sh + wh)
+        wp = max(wl + 2 * pad_l, (nbw - 1) * sw + ww)
+        levels.append(dict(m=m_l, pad=pad_l, sh=sh, sw=sw, wh=wh, ww=ww,
+                           hp=hp, wp=wp, hl=hl, wl=wl))
+        hl, wl = hl // 2, wl // 2
+    return dict(H1=H1, W1=W1, bh=bh, bw=bw, nbh=nbh, nbw=nbw,
+                levels=tuple(tuple(sorted(d.items())) for d in levels))
+
+
+def _to_blocked(x, meta):
+    """(H1*W1, C) natural raster -> (NB*BQ, C) block-major (zero pad)."""
+    lv = dict(meta)
+    H1, W1, bh, bw = lv["H1"], lv["W1"], lv["bh"], lv["bw"]
+    nbh, nbw = lv["nbh"], lv["nbw"]
+    C = x.shape[-1]
+    x = x.reshape(H1, W1, C)
+    x = jnp.pad(x, ((0, nbh * bh - H1), (0, nbw * bw - W1), (0, 0)))
+    x = x.reshape(nbh, bh, nbw, bw, C).transpose(0, 2, 1, 3, 4)
+    return x.reshape(nbh * nbw * bh * bw, C)
+
+
+def _from_blocked(x, meta):
+    """Inverse of _to_blocked: (NB*BQ, C) -> (H1*W1, C)."""
+    lv = dict(meta)
+    H1, W1, bh, bw = lv["H1"], lv["W1"], lv["bh"], lv["bw"]
+    nbh, nbw = lv["nbh"], lv["nbw"]
+    C = x.shape[-1]
+    x = x.reshape(nbh, nbw, bh, bw, C).transpose(0, 2, 1, 3, 4)
+    x = x.reshape(nbh * bh, nbw * bw, C)[:H1, :W1]
+    return x.reshape(H1 * W1, C)
+
+
+def build_local_corr(fmap1, fmap2, radius=4, num_levels=4, margin=16,
+                     block=(8, 16), out_dtype=None,
+                     precision=jax.lax.Precision.DEFAULT):
+    """Block-local recentered correlation pyramid.
+
+    THE TPU-native redesign of the windowed-correlation problem
+    (ref:alt_cuda_corr/correlation_kernel.cu rethought for the MXU):
+    scattered per-query window fetches are hostile to TPU (gathers are
+    scalar-unit bound; per-query DMAs drown in descriptor issue cost), so
+    instead of storing each query's full (Hl, Wl) correlation row, queries
+    are grouped into (8, 16) spatial blocks that share one source window of
+    half-width ``margin + r + 1`` around the block's own position. Each
+    level is then ONE patch-extraction + ONE big clean MXU einsum
+    (M=128 queries, K=D, N=window), the stored volume shrinks ~6-10x, and
+    every later lookup becomes a small-K one-hot matmul over the block
+    window instead of the whole level.
+
+    Semantics: bit-exact vs the all-pairs pyramid (including grid_sample
+    zero borders) for every centroid within ``±margin`` level-0 cells
+    (= margin*8 full-res px) of its query position — the post-prewarp
+    residual regime the tracker lives in; centroids beyond are clamped to
+    the stored window edge (saturated, finite) rather than fabricated.
+
+    fmap1/fmap2: (1, H1, W1, D). Returns LocalCorrVolumes.
+    """
+    from ..ops.warp import avg_pool2d
+
+    B, H1, W1, D = fmap1.shape
+    assert B == 1, "block-local volume is a single-stream tracker path"
+    meta = _local_layout(H1, W1, radius, num_levels, margin, block)
+    nbh, nbw, bh, bw = meta["nbh"], meta["nbw"], meta["bh"], meta["bw"]
+    nb = nbh * nbw
+    bq = bh * bw
+    scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
+
+    f1b = _to_blocked(fmap1.reshape(H1 * W1, D), meta)     # (NB*BQ, D)
+    f1b = f1b.reshape(nb, bq, D)
+
+    volumes = []
+    lv = fmap2[0]                                          # (Hl, Wl, D)
+    for l, lv_meta in enumerate(meta["levels"]):
+        d = dict(lv_meta)
+        pad_l, wh, ww = d["pad"], d["wh"], d["ww"]
+        hp, wp, sh, sw = d["hp"], d["wp"], d["sh"], d["sw"]
+        fp = jnp.pad(lv, ((pad_l, hp - lv.shape[0] - pad_l),
+                          (pad_l, wp - lv.shape[1] - pad_l), (0, 0)))
+        # per-block source windows: static origins (by*sh, bx*sw)
+        patches = jax.lax.conv_general_dilated_patches(
+            fp[None], (wh, ww), (sh, sw), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))    # (1,nh,nw,D*wh*ww)
+        patches = patches[0, :nbh, :nbw]
+        # channel order of patches is (c, fy, fx) — bring D to the back
+        patches = patches.reshape(nbh * nbw, D, wh * ww)
+        corr_l = jnp.einsum("bqd,bdp->bqp", f1b, patches,
+                            precision=precision,
+                            preferred_element_type=jnp.float32)
+        corr_l = (corr_l * scale).reshape(nb * bq, wh, ww)
+        volumes.append(corr_l if out_dtype is None
+                       else corr_l.astype(out_dtype))
+        if l + 1 < num_levels:
+            lv = avg_pool2d(lv[None].astype(jnp.float32))[0]
+    return LocalCorrVolumes(volumes, meta)
+
+
+def corr_lookup_local(local, coords, radius=4):
+    """Window lookup against LocalCorrVolumes (torch channel order).
+
+    coords: (1, H1, W1, 2) level-0 centroids in natural raster order.
+    Returns (1, H1, W1, L*(2r+1)^2)."""
+    meta = local.meta
+    H1, W1 = meta["H1"], meta["W1"]
+    nbh, nbw, bh, bw = meta["nbh"], meta["nbw"], meta["bh"], meta["bw"]
+    nb, bq = nbh * nbw, bh * bw
+    k = 2 * radius + 1
+
+    cb = _to_blocked(coords.reshape(H1 * W1, 2), meta)     # (NB*BQ, 2)
+    outs = []
+    for l, (corr_l, lv_meta) in enumerate(zip(local.volumes,
+                                              meta["levels"])):
+        d = dict(lv_meta)
+        pad_l, wh, ww, sh, sw = d["pad"], d["wh"], d["ww"], d["sh"], d["sw"]
+        # window-local coords: level coords + pad - static block origin
+        by = jnp.repeat(jnp.arange(nbh, dtype=jnp.float32) * sh, nbw)
+        bx = jnp.tile(jnp.arange(nbw, dtype=jnp.float32) * sw, nbh)
+        origin = jnp.stack([bx, by], -1)[:, None]          # (NB, 1, 2)
+        c = (cb.reshape(nb, bq, 2) / (2.0 ** l)) + pad_l - origin
+        # clamp into the stored window (saturate out-of-range centroids)
+        c = jnp.stack([
+            jnp.clip(c[..., 0], radius, ww - radius - 1.001),
+            jnp.clip(c[..., 1], radius, wh - radius - 1.001)], -1)
+        outs.append(_lookup_level_onehot(corr_l, c.reshape(nb * bq, 2),
+                                         radius))
+    out = jnp.concatenate(outs, axis=-1)                   # (NB*BQ, L*k*k)
+    return _from_blocked(out, meta).reshape(1, H1, W1, -1)
+
+
+def corr_lookup_local_sparse(local, coords, cells, radius=4):
+    """Lookup against LocalCorrVolumes at M specific cells only.
+
+    coords: (M, 2) level-0 centroids; cells: (M,) flat NATURAL raster
+    indices into the H1*W1 grid. Returns (M, L*(2r+1)^2). Powers the
+    sparse weight-head path."""
+    meta = local.meta
+    W1, bh, bw = meta["W1"], meta["bh"], meta["bw"]
+    nbw = meta["nbw"]
+    bq = bh * bw
+    k = 2 * radius + 1
+
+    cy = cells // W1
+    cx = cells % W1
+    blk = (cy // bh) * nbw + (cx // bw)
+    bidx = blk * bq + (cy % bh) * bw + (cx % bw)           # blocked index
+
+    outs = []
+    for l, (corr_l, lv_meta) in enumerate(zip(local.volumes,
+                                              meta["levels"])):
+        d = dict(lv_meta)
+        pad_l, wh, ww, sh, sw = d["pad"], d["wh"], d["ww"], d["sh"], d["sw"]
+        sub = corr_l[bidx]                                 # (M, wh, ww)
+        oy = ((cy // bh) * sh).astype(jnp.float32)
+        ox = ((cx // bw) * sw).astype(jnp.float32)
+        c = coords / (2.0 ** l) + pad_l
+        c = jnp.stack([
+            jnp.clip(c[..., 0] - ox, radius, ww - radius - 1.001),
+            jnp.clip(c[..., 1] - oy, radius, wh - radius - 1.001)], -1)
+        outs.append(_lookup_level_onehot(sub, c, radius))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def corr_lookup_band(padded_pyramid, coords, radius=4):
+    """Row-band gather + bilinear-folded one-hot column matmul.
+
+    The TPU-native shape for the scattered window lookup
+    (ref:alt_cuda_corr/correlation_kernel.cu:19-119 rethought for the
+    memory system): per query, gather only its (k+2) pre-padded correlation
+    rows — a lane-contiguous sublane gather, the kind the hardware gather
+    engine streams — then select + x-blend the window columns with ONE
+    one-hot matmul whose weights fold the fractional-x blend, and finish
+    with the static y-blend. Versus the one-hot path this reads
+    O(Q * k * Wp) instead of the entire O(Q * Hl * Wl) volume per lookup.
+
+    padded_pyramid: list of (Q, Hp, Wp) from ``corr_pyramid_fused(pad=...)``
+    (zero border >= window size, so clamped starts never need masks).
+    coords: (B, H1, W1, 2). Returns (B, H1, W1, L*(2r+1)^2), torch order.
+    """
+    from ..ops.pallas.corr_lookup import _pad_amount
+
+    B, H1, W1, _ = coords.shape
+    Q = B * H1 * W1
+    k = 2 * radius + 1
+    pad = _pad_amount(radius)
+    flat = coords.reshape(Q, 2)
+
+    outs = []
+    for lvl, corr_l in enumerate(padded_pyramid):
+        _, hp, wp = corr_l.shape
+        c = flat / (2.0 ** lvl)
+        x0 = jnp.floor(c[:, 0])
+        y0 = jnp.floor(c[:, 1])
+        fx = (c[:, 0] - x0).astype(jnp.float32)
+        fy = (c[:, 1] - y0).astype(jnp.float32)[:, None, None]
+        sy = jnp.clip(y0.astype(jnp.int32) - radius + pad, 0, hp - (k + 1))
+        sx = jnp.clip(x0.astype(jnp.int32) - radius + pad, 0, wp - (k + 1))
+
+        rows = sy[:, None] + jnp.arange(k + 1, dtype=jnp.int32)[None]
+        band = jnp.take_along_axis(corr_l, rows[:, :, None],
+                                   axis=1)                     # (Q,k+1,Wp)
+
+        # column-select matrix with fx folded in:
+        # C[q, w, i] = (1-fx)[w == sx+i] + fx[w == sx+i+1]
+        wl_iota = jnp.arange(wp, dtype=jnp.int32)[None, :, None]
+        ci = sx[:, None, None] + jnp.arange(k, dtype=jnp.int32)[None, None]
+        csel = ((wl_iota == ci) * (1.0 - fx)[:, None, None]
+                + (wl_iota == ci + 1) * fx[:, None, None])     # (Q, Wp, k)
+        win = jnp.einsum("qaw,qwi->qai", band.astype(jnp.float32), csel,
+                         preferred_element_type=jnp.float32)   # (Q,k+1,k)
+        blend = (1.0 - fy) * win[:, :k] + fy * win[:, 1:]      # [q, j, i]
         outs.append(jnp.swapaxes(blend, 1, 2).reshape(Q, k * k))
     return jnp.concatenate(outs, axis=-1).reshape(B, H1, W1, -1)
 

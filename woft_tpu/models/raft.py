@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..ops.warp import coords_grid, grid_sample, upflow8
 from . import layers
-from .corr import all_pairs_correlation, corr_pyramid, corr_lookup
+from .corr import corr_lookup
 
 
 @dataclass(frozen=True)
@@ -42,7 +42,14 @@ class RaftConfig:
     corr_radius: int = 0               # 0 = auto: 3 (small) / 4 (basic)
     weight_head_structure: Tuple = ((128, 3), (128, 3), (128, 3))
     mask_head_structure: Tuple = ()
-    corr_impl: str = "onehot"          # 'onehot' | 'gather' | 'pallas'
+    corr_impl: str = "onehot"          # 'onehot' | 'gather' | 'rowgather'
+                                       # | 'dslice' | 'pallas'
+    alternate_corr: bool = False       # on-the-fly windowed correlation:
+                                       # no materialized volume (huge frames)
+    alt_chunk: int = 4096              # queries per alternate-corr map step
+    local_margin: int = 16             # corr_impl='local': exact-lookup
+                                       # half-range in 1/8-res cells
+                                       # (16 -> +-128 full-res px residual)
     precision: str = "highest"         # 'highest' | 'default' | 'bf16' 
 
     @property
@@ -294,7 +301,8 @@ def encode_template(params, cfg: RaftConfig, image1):
 
 
 def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
-                          flow_init=None, iters=None, template_feats=None):
+                          flow_init=None, iters=None, template_feats=None,
+                          sparse_weight_head=False):
     """Estimate flow (and reliability weights) between two frames.
 
     Args:
@@ -305,6 +313,14 @@ def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
         flow_init: optional (B, H/8, W/8, 2) initial flow.
         iters: GRU iterations (defaults to cfg.iters).
         template_feats: optional (fmap1, net0, inp) from ``encode_template``.
+        sparse_weight_head: skip the dense weight head (the 13th lookup +
+            per-query convnet over all H1*W1 cells); instead return
+            ``weight_head_at(cells)`` — a closure evaluating identical
+            logits at M flat 1/8-grid cells — plus 'up_mask'. The weight
+            head is per-cell independent (it convolves over the 9x9 *patch*
+            dims, ref:weighted_raft.py:347-384), so evaluating it only at
+            the cells the tracker's 500-point solver consumes is exact and
+            ~65x cheaper at 1080p. B must be 1.
     Returns:
         dict with 'flow' (B,H/8,W/8,2), 'flow_up' (B,H,W,2) and for weighted
         variants 'weights' (B,H/8,W/8,1), 'weights_up' (B,H,W,1), plus
@@ -334,25 +350,75 @@ def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
         net = jnp.tanh(cnet[..., :hdim])
         inp = jax.nn.relu(cnet[..., hdim:hdim + cdim])
 
-    corr = all_pairs_correlation(fmap1.astype(jnp.float32),
-                                 fmap2.astype(jnp.float32),
-                                 precision=cfg.lax_precision)
-    pyramid = corr_pyramid(corr, cfg.corr_levels)
+    if cfg.alternate_corr:
+        # on-the-fly windowed correlation: no O(Q^2) volume in HBM
+        # (ref:raft_core/corr.py:72-100 AlternateCorrBlock capability)
+        from .corr import corr_lookup_alternate, corr_mean_response
 
-    if cfg.corr_impl == "pallas":
-        from ..ops.pallas.corr_lookup import pad_pyramid, fused_corr_lookup
-        padded = pad_pyramid(pyramid, radius)
+        f1c = fmap1.astype(jnp.float32)
+        f2c = fmap2.astype(jnp.float32)
+        mean_response = corr_mean_response(f1c, f2c)
 
         def lookup(coords):
-            return fused_corr_lookup(padded, coords, radius=radius)
+            return corr_lookup_alternate(f1c, f2c, coords, radius,
+                                         cfg.corr_levels,
+                                         chunk=min(cfg.alt_chunk,
+                                                   B * H1 * W1))
+    elif cfg.corr_impl == "local" and B == 1:
+        # block-local recentered volume: the TPU fast path (see
+        # corr.build_local_corr) — exact within +-local_margin cells of
+        # post-prewarp residual, saturated beyond
+        from .corr import (build_local_corr, corr_lookup_local,
+                           corr_mean_response)
+
+        vol_dtype = (jnp.bfloat16 if cfg.precision in ("default", "bf16")
+                     else None)
+        local_vol = build_local_corr(
+            fmap1.astype(jnp.float32), fmap2.astype(jnp.float32),
+            radius, cfg.corr_levels, margin=cfg.local_margin,
+            out_dtype=vol_dtype, precision=cfg.lax_precision)
+        mean_response = corr_mean_response(fmap1.astype(jnp.float32),
+                                           fmap2.astype(jnp.float32))
+
+        def lookup(coords):
+            return corr_lookup_local(local_vol, coords, radius)
     else:
-        # at relaxed precision, stream/select the volume in bf16: halves
-        # HBM traffic and takes the fast MXU path in the one-hot selection
-        if cfg.precision in ("default", "bf16") and cfg.corr_impl == "onehot":
-            pyramid = [p.astype(jnp.bfloat16) for p in pyramid]
+        # Build the pyramid fused (one MXU einsum per level against pooled
+        # — and, for window-slicing impls, pre-padded — fmap2): the multi-GB
+        # level-0 volume is written once and never re-read for pooling or
+        # padding, and mean_response comes from features in O(Q*D).
+        from .corr import corr_pyramid_fused
+        from ..ops.pallas.corr_lookup import _pad_amount
 
-        def lookup(coords):
-            return corr_lookup(pyramid, coords, radius, impl=cfg.corr_impl)
+        sliced_impl = cfg.corr_impl in ("pallas", "dslice", "band")
+        vol_dtype = (jnp.bfloat16 if cfg.precision in ("default", "bf16")
+                     else None)
+        pyramid, mean_response = corr_pyramid_fused(
+            fmap1.astype(jnp.float32), fmap2.astype(jnp.float32),
+            cfg.corr_levels, pad=_pad_amount(radius) if sliced_impl else 0,
+            out_dtype=vol_dtype, precision=cfg.lax_precision)
+
+        if cfg.corr_impl == "pallas":
+            from ..ops.pallas.corr_lookup import fused_corr_lookup
+
+            def lookup(coords):
+                return fused_corr_lookup(pyramid, coords, radius=radius)
+        elif cfg.corr_impl == "dslice":
+            from .corr import corr_lookup_dslice
+
+            def lookup(coords):
+                return corr_lookup_dslice(pyramid, coords, radius)
+        elif cfg.corr_impl == "band":
+            from .corr import corr_lookup_band
+
+            def lookup(coords):
+                return corr_lookup_band(pyramid, coords, radius)
+        else:
+            # 'local' with B > 1 falls back to the exact one-hot path
+            impl = "onehot" if cfg.corr_impl == "local" else cfg.corr_impl
+
+            def lookup(coords):
+                return corr_lookup(pyramid, coords, radius, impl=impl)
 
     coords0 = coords_grid(B, H1, W1)
     coords1 = coords0 if flow_init is None else coords0 + flow_init
@@ -385,13 +451,56 @@ def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
     if cfg.variant == "orig":
         return out
 
-    # weight head over the final lookup (ref:weighted_raft.py:258-290)
     k = 2 * radius + 1
+    if sparse_weight_head and cfg.variant == "weighted" and B == 1:
+        # defer the weight head: identical logits, only at requested cells
+        assert up_mask is not None, "sparse weight head needs convex up_mask"
+        coords1_flat = coords1.reshape(H1 * W1, 2)
+        mr_flat = mean_response.reshape(H1 * W1)
+
+        def weight_head_at(cells):
+            """cells: (M,) int32 flat 1/8-grid indices -> (M,) logits,
+            bit-equal to the dense head at those cells."""
+            M = cells.shape[0]
+            c = coords1_flat[cells][None, None]           # (1, 1, M, 2)
+            if cfg.alternate_corr:
+                from .corr import corr_lookup_alternate
+                f1_sub = f1c.reshape(H1 * W1, -1)[cells][None, None]
+                corr_f = corr_lookup_alternate(
+                    f1_sub, f2c, c, radius, cfg.corr_levels,
+                    chunk=min(cfg.alt_chunk, M))
+            elif cfg.corr_impl == "local":
+                from .corr import corr_lookup_local_sparse
+                corr_f = corr_lookup_local_sparse(
+                    local_vol, coords1_flat[cells], cells, radius)
+            else:
+                sub_pyr = [p[cells] for p in pyramid]     # (M, Hl, Wl)
+                if cfg.corr_impl == "pallas":
+                    from ..ops.pallas.corr_lookup import fused_corr_lookup
+                    corr_f = fused_corr_lookup(sub_pyr, c, radius=radius)
+                elif cfg.corr_impl == "dslice":
+                    from .corr import corr_lookup_dslice
+                    corr_f = corr_lookup_dslice(sub_pyr, c, radius)
+                elif cfg.corr_impl == "band":
+                    from .corr import corr_lookup_band
+                    corr_f = corr_lookup_band(sub_pyr, c, radius)
+                else:
+                    corr_f = corr_lookup(sub_pyr, c, radius,
+                                         impl=cfg.corr_impl)
+            corr_s = corr_f.reshape(1, 1, M, k, k, cfg.corr_levels)
+            w = weight_head_apply(params["weight_head"], corr_s,
+                                  mr_flat[cells].reshape(1, 1, M),
+                                  cfg.weight_head_structure)
+            return w.reshape(M)
+
+        out.update(up_mask=up_mask, weight_head_at=weight_head_at,
+                   mean_response=mean_response)
+        return out
+
+    # weight head over the final lookup (ref:weighted_raft.py:258-290)
     corr_final = lookup(coords1)                          # (B,H1,W1,L*k*k)
     # the reference's rearrange splits channels as (H_patch, W_patch, levels)
     corr_sample = corr_final.reshape(B, H1, W1, k, k, cfg.corr_levels)
-    # mean over the f32 level-0 rows (not the possibly-bf16 lookup copy)
-    mean_response = jnp.mean(corr.reshape(B, H1, W1, -1), axis=-1)
     weights = weight_head_apply(params["weight_head"], corr_sample,
                                 mean_response, cfg.weight_head_structure)
 

@@ -201,8 +201,8 @@ def build_window_track_step(raft_cfg: RaftConfig, tp: TrackerParams,
                              jnp.clip(dst_int[:, 0], 0, S - 1)]
         valid = state["tmpl_mask_window"].reshape(hw) & in_pw
 
-        src_g, dst_g, w_g, sel = _select_tcs(wflow, wweights, valid,
-                                             tp.subsample_n)
+        src_g, dst_g, w_g, sel, _ = _select_tcs(wflow, wweights, valid,
+                                                tp.subsample_n)
         h_pw2tmpl = _estimate_h(tp, dst_g, src_g, w_g, sel)
         ok, inlier_frac = _success_check(tp, h_pw2tmpl, dst_g, src_g,
                                          sel[0:1])
@@ -226,8 +226,8 @@ def build_window_track_step(raft_cfg: RaftConfig, tp: TrackerParams,
                 jnp.linalg.inv(state["h_prev_win2tmplwin"]),
                 mode="nearest")
             lvalid = prev_mask.reshape(hw) > 0
-            lsrc, ldst, lw, lsel = _select_tcs(lflow, lweights, lvalid,
-                                               tp.subsample_n)
+            lsrc, ldst, lw, lsel, _ = _select_tcs(lflow, lweights, lvalid,
+                                                  tp.subsample_n)
             hf = _estimate_h(tp, ldst, lsrc, lw, lsel)[0]  # cur->prev window
             # full chain: cur frame -> cur window -> prev window ->
             #             prev frame -> init

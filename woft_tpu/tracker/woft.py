@@ -69,6 +69,11 @@ class TrackerParams:
     no_local_h: bool = False        # skip the local-flow fallback
     downscale: int = 0              # host-side input downscale factor
     padding_mode: str = "nopad"
+    sparse_weights: bool = True     # evaluate the weight head + convex
+                                    # upsample only at the cells the solver
+                                    # consumes (identical logits, ~65x less
+                                    # head work at 1080p); auto-disabled for
+                                    # non-default flow seams/variants
 
 
 class TrackerState:
@@ -166,6 +171,44 @@ def _estimate_h(tp: TrackerParams, pts_a, pts_b, weights, valid):
     return find_homography_wls_qr(pts_a, pts_b, w)
 
 
+def _sparse_point_weights(weight_head_at, up_mask, idx, W_img, H1, W1):
+    """Sigmoided reliability weights at full-res points, sparsely.
+
+    Reproduces sigmoid(convex_upsample(weight_head(...), up_mask)/8) at the
+    ``idx`` pixels only: each full-res point's upsampled weight is the
+    softmaxed 3x3 convex combination of its parent cell's neighbours'
+    logits (models/raft.py:convex_upsample), and the weight head itself is
+    per-cell independent — so only |idx|*9 cells are ever evaluated.
+
+    Args:
+        weight_head_at: (M,) flat-cell -> (M,) logits closure from
+            ``weighted_raft_forward(..., sparse_weight_head=True)``.
+        up_mask: (1, H1, W1, 9*64) convex upsampling mask (pre-softmax).
+        idx: (n,) int32 flat full-res pixel indices.
+    Returns:
+        (n,) f32 sigmoided weights — matching the dense path pointwise.
+    """
+    n = idx.shape[0]
+    px = idx % W_img
+    py = idx // W_img
+    cx, sx = px // 8, px % 8
+    cy, sy = py // 8, py % 8
+    d = jnp.arange(3, dtype=jnp.int32) - 1
+    cyn = cy[:, None, None] + d[None, :, None]               # (n, 3, 1)
+    cxn = cx[:, None, None] + d[None, None, :]               # (n, 1, 3)
+    nb_ok = ((cyn >= 0) & (cyn < H1) & (cxn >= 0) & (cxn < W1))
+    cells = (jnp.clip(cyn, 0, H1 - 1) * W1
+             + jnp.clip(cxn, 0, W1 - 1)).reshape(n * 9)
+    logits = weight_head_at(cells).reshape(n, 9)
+    # outside-grid neighbours contribute logit 0 (the dense path's zero pad)
+    logits = logits * nb_ok.reshape(n, 9).astype(logits.dtype)
+
+    m = up_mask.reshape(H1 * W1, 9, 8, 8)[cy * W1 + cx]      # (n, 9, 8, 8)
+    m = jax.nn.softmax(m, axis=1)
+    msel = m[jnp.arange(n), :, sy, sx]                       # (n, 9)
+    return jax.nn.sigmoid(jnp.sum(msel * logits, axis=1))
+
+
 def _select_tcs(flow, weights, valid_mask, n):
     """Dense flow -> fixed-size TC set.
 
@@ -177,13 +220,26 @@ def _select_tcs(flow, weights, valid_mask, n):
     ys = (jnp.arange(hw) // W).astype(jnp.float32)
     src = jnp.stack([xs, ys], axis=-1)                        # (HW, 2)
     dst = src + flow.reshape(hw, 2)
-    w = weights.reshape(hw)
 
     idx, sel_valid = masked_sobol_gather(valid_mask, n)
     g_src = src[idx][None]
     g_dst = dst[idx][None]
-    g_w = w[idx][None]
-    return g_src, g_dst, g_w, sel_valid[None].astype(jnp.float32)
+    if weights is None:
+        g_w = None
+    else:
+        g_w = weights.reshape(hw)[idx][None]
+    return g_src, g_dst, g_w, sel_valid[None].astype(jnp.float32), idx
+
+
+def _select_tcs_sparse(flow, forward_out, valid_mask, n):
+    """Sparse-weight-head twin of ``_select_tcs``: same Sobol selection,
+    weights computed only at the selected points."""
+    H, W = flow.shape[1:3]
+    src_g, dst_g, _, sel, idx = _select_tcs(flow, None, valid_mask, n)
+    w = _sparse_point_weights(forward_out["weight_head_at"],
+                              forward_out["up_mask"], idx,
+                              W, H // 8, W // 8)
+    return src_g, dst_g, w[None], sel
 
 
 def _success_check(tp: TrackerParams, H, pts_a, pts_b, valid):
@@ -235,6 +291,13 @@ def build_track_step(raft_cfg: RaftConfig, tp: TrackerParams, flow_fn=None):
 
     base_flow = flow_fn if flow_fn is not None else default_flow
 
+    # sparse weight-head path: identical numerics, the head + convex
+    # upsample run only at the ~n*9 cells the 500-point solver consumes
+    # (the head convolves per-cell over patch dims — see models/raft.py)
+    sparse_ok = (flow_fn is None and tp.sparse_weights
+                 and raft_cfg.variant == "weighted" and not raft_cfg.small
+                 and tp.padding_mode == "nopad")
+
     def run_flow(params, img1, img2, template_feats=None):
         """Normalise the flow seam to (flow, weights, vis-or-None); the
         'weighted_masked' variant adds a visibility mask
@@ -259,8 +322,14 @@ def build_track_step(raft_cfg: RaftConfig, tp: TrackerParams, flow_fn=None):
         pw_mask = warp_validity_mask(last_good, (H_img, W_img))[0]
 
         # global flow template -> prewarped current (ref:YAOF:98-131)
-        flow, weights, vis = run_flow(params, state.template_img, prewarped,
-                                      state.template_feats)
+        if sparse_ok:
+            fo = weighted_raft_forward(params, raft_cfg, None, prewarped,
+                                       template_feats=state.template_feats,
+                                       sparse_weight_head=True)
+            flow, weights, vis = fo["flow_up"], None, None
+        else:
+            flow, weights, vis = run_flow(params, state.template_img,
+                                          prewarped, state.template_feats)
 
         # TC validity: template mask + pre-warp region/bounds (ref:YAOF:287-312)
         dst = (jnp.stack(
@@ -281,8 +350,12 @@ def build_track_step(raft_cfg: RaftConfig, tp: TrackerParams, flow_fn=None):
             # ref:weighted_raft.py:296-310)
             valid &= vis.reshape(hw) > 0.5
 
-        src_g, dst_g, w_g, sel = _select_tcs(flow, weights, valid,
-                                             tp.subsample_n)
+        if sparse_ok:
+            src_g, dst_g, w_g, sel = _select_tcs_sparse(flow, fo, valid,
+                                                        tp.subsample_n)
+        else:
+            src_g, dst_g, w_g, sel, _ = _select_tcs(flow, weights, valid,
+                                                    tp.subsample_n)
 
         # weighted fit: current-prewarped -> template (ref:YAOF:151-159)
         H_pw2init = _estimate_h(tp, dst_g, src_g, w_g, sel)    # (1,3,3)
@@ -297,11 +370,20 @@ def build_track_step(raft_cfg: RaftConfig, tp: TrackerParams, flow_fn=None):
                 state.template_mask[None, :, :, None].astype(jnp.float32),
                 jnp.linalg.inv(state.prev_h2init), mode="nearest")
             lvalid = prev_mask.reshape(hw) > 0
-            lflow, lweights, lvis = run_flow(params, state.prev_img, frame)
-            if lvis is not None:
-                lvalid &= lvis.reshape(hw) > 0.5
-            lsrc, ldst, lw, lsel = _select_tcs(lflow, lweights, lvalid,
-                                               tp.subsample_n)
+            if sparse_ok:
+                lfo = weighted_raft_forward(params, raft_cfg,
+                                            state.prev_img, frame,
+                                            sparse_weight_head=True)
+                lflow = lfo["flow_up"]
+                lsrc, ldst, lw, lsel = _select_tcs_sparse(
+                    lflow, lfo, lvalid, tp.subsample_n)
+            else:
+                lflow, lweights, lvis = run_flow(params, state.prev_img,
+                                                 frame)
+                if lvis is not None:
+                    lvalid &= lvis.reshape(hw) > 0.5
+                lsrc, ldst, lw, lsel, _ = _select_tcs(lflow, lweights,
+                                                      lvalid, tp.subsample_n)
             H_flow = _estimate_h(tp, ldst, lsrc, lw, lsel)[0]  # cur -> prev
             # H_flow applies first (cur->prev), then prev_h2init (prev->init)
             # (ref:YAOF:201 compose_H(H_flow, self.prev_H2init))
