@@ -173,3 +173,12 @@ def test_external_wrapper_with_shipped_head():
         outs.append(w)
     # the trained head responds to the cost-volume content
     assert not np.allclose(outs[0], outs[1])
+
+
+def test_fast_and_window384_configs_load():
+    for name, checks in (
+            ("WOFT_fast.py", lambda c: (c.flow_config.corr_impl == "local"
+                                        and c.flow_config.precision == "bf16")),
+            ("WOFT_window_384.py", lambda c: c.window_size == 384)):
+        conf = load_config(CONFIG_DIR / name)
+        assert checks(conf), name

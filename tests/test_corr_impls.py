@@ -165,6 +165,32 @@ def test_alternate_corr_forward_matches_dense():
                                    atol=1e-3, rtol=1e-4)
 
 
+def test_local_pallas_construction_matches_xla():
+    """The Pallas block-local construction kernel (interpret mode on CPU)
+    must reproduce the XLA patch-einsum path."""
+    from woft_tpu.models.corr import build_local_corr
+    from woft_tpu.ops.pallas import local_corr as plc
+
+    rng = np.random.default_rng(7)
+    f1 = jnp.asarray(rng.normal(size=(1, 16, 32, 64)), jnp.float32)
+    f2 = jnp.asarray(rng.normal(size=(1, 16, 32, 64)), jnp.float32)
+
+    ref = build_local_corr(f1, f2, radius=4, num_levels=4, margin=8,
+                           use_pallas=False)
+
+    orig = plc.pl.pallas_call
+    plc.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        out = build_local_corr(f1, f2, radius=4, num_levels=4, margin=8,
+                               use_pallas=True)
+    finally:
+        plc.pl.pallas_call = orig
+
+    for a, b in zip(out.volumes, ref.volumes):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-5)
+
+
 def test_local_forward_matches_dense():
     """corr_impl='local' end-to-end == the dense path (margin covers the
     whole level at this size, so equality is exact everywhere)."""

@@ -93,3 +93,24 @@ def test_stress_trajectory_has_jumps():
     assert ms.max() < 15.0
     assert mj.max() > 30.0          # the jolt is visible
     assert (mj > 30.0).sum() <= 4   # but rare
+
+
+def test_flow_to_image_matches_reference_wheel():
+    """Exact Baker-wheel parity with the reference flow_viz."""
+    import sys
+    sys.path.insert(0, "/root/reference/pytracking/external/RAFT/raft_core"
+                       "/utils")
+    try:
+        import flow_viz
+    except ImportError:
+        pytest.skip("reference flow_viz not importable")
+    from woft_tpu.utils.vis import flow_to_image
+
+    rng = np.random.default_rng(0)
+    flow = rng.normal(0, 5, (32, 48, 2)).astype(np.float32)
+    ref = flow_viz.flow_to_image(flow, convert_to_bgr=True)
+    out = flow_to_image(flow, convert_to_bgr=True)
+    assert np.array_equal(out, ref)
+    ref_c = flow_viz.flow_to_image(flow, clip_flow=3.0)
+    out_c = flow_to_image(flow, clip_flow=3.0)
+    assert np.array_equal(out_c, ref_c)

@@ -102,3 +102,35 @@ def test_known_translation(frame_and_mask):
     h = np.asarray(h)
     assert np.allclose(h, h_true, atol=5e-3), h
     assert bool(np.asarray(meta["global_H_success"]))
+
+
+def test_window_sparse_weight_path_matches_dense():
+    """Window-tracker sparse weight-head path == dense path."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from woft_tpu.models.raft import RaftConfig, init_raft_params
+    from woft_tpu.tracker import TrackerParams
+    from woft_tpu.tracker.window_step import (WindowParams,
+                                              build_window_track_step,
+                                              window_init_state)
+
+    cfg = RaftConfig(variant="weighted", iters=2)
+    params = init_raft_params(jax.random.PRNGKey(4), cfg)
+    rng = np.random.default_rng(0)
+    frame = jnp.asarray(rng.uniform(0, 255, (1, 96, 128, 3)), jnp.float32)
+    mask = np.zeros((96, 128), bool)
+    mask[30:70, 40:100] = True
+    wp = WindowParams(size=64, margin=0.4, min_px=20)
+
+    hs = {}
+    for sparse in (False, True):
+        tp = TrackerParams(padding_mode="nopad", redetection="always",
+                           sparse_weights=sparse)
+        step = build_window_track_step(cfg, tp, wp)
+        state = window_init_state(params, cfg, tp, wp, frame,
+                                  jnp.asarray(mask))
+        _, H, _ = step(params, state, frame)
+        hs[sparse] = np.asarray(H)
+        assert np.isfinite(hs[sparse]).all()
+    np.testing.assert_allclose(hs[True], hs[False], atol=1e-4, rtol=1e-4)

@@ -71,6 +71,9 @@ class RaftFlow:
             mask_head_structure=tuple(
                 tuple(s) if isinstance(s, (list, tuple)) else s for s in mhs),
             precision=str(config.precision) if config.precision else "highest",
+            corr_impl=str(config.corr_impl) if config.corr_impl else "onehot",
+            alternate_corr=bool(cp.alternate_corr),
+            local_margin=int(config.local_margin or 16),
         )
         self.padding_mode = config.padding_mode or "nopad"
         self.params = self._load_params(config)

@@ -366,7 +366,11 @@ def _local_layout(H1, W1, radius, num_levels, margin, block):
         pad_l = m_l + radius + 1
         sh, sw = bh >> l, bw >> l                 # query-center span
         wh = sh + 2 * pad_l
-        ww = sw + 2 * pad_l
+        # Mosaic DMA slices of the (Hp, Wp, D) feature map must be
+        # 8-aligned along Wp in BOTH offset and size: block x-origins are
+        # quantized to (bx*sw // 8) * 8 (identity when 8 | sw) and ww is
+        # rounded up with headroom for the quantization remainder
+        ww = -8 * (-(sw + 2 * pad_l + (7 if sw % 8 else 0)) // 8)
         # padded level size must cover the last block's window
         hp = max(hl + 2 * pad_l, (nbh - 1) * sh + wh)
         wp = max(wl + 2 * pad_l, (nbw - 1) * sw + ww)
@@ -402,7 +406,7 @@ def _from_blocked(x, meta):
 
 def build_local_corr(fmap1, fmap2, radius=4, num_levels=4, margin=16,
                      block=(8, 16), out_dtype=None,
-                     precision=jax.lax.Precision.DEFAULT):
+                     precision=jax.lax.Precision.DEFAULT, use_pallas=None):
     """Block-local recentered correlation pyramid.
 
     THE TPU-native redesign of the windowed-correlation problem
@@ -437,6 +441,9 @@ def build_local_corr(fmap1, fmap2, radius=4, num_levels=4, margin=16,
 
     f1b = _to_blocked(fmap1.reshape(H1 * W1, D), meta)     # (NB*BQ, D)
     f1b = f1b.reshape(nb, bq, D)
+    if use_pallas is None:
+        # the Pallas kernel is the TPU production path; XLA everywhere else
+        use_pallas = jax.default_backend() not in ("cpu",)
 
     volumes = []
     lv = fmap2[0]                                          # (Hl, Wl, D)
@@ -446,19 +453,35 @@ def build_local_corr(fmap1, fmap2, radius=4, num_levels=4, margin=16,
         hp, wp, sh, sw = d["hp"], d["wp"], d["sh"], d["sw"]
         fp = jnp.pad(lv, ((pad_l, hp - lv.shape[0] - pad_l),
                           (pad_l, wp - lv.shape[1] - pad_l), (0, 0)))
-        # per-block source windows: static origins (by*sh, bx*sw)
-        patches = jax.lax.conv_general_dilated_patches(
-            fp[None], (wh, ww), (sh, sw), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))    # (1,nh,nw,D*wh*ww)
-        patches = patches[0, :nbh, :nbw]
-        # channel order of patches is (c, fy, fx) — bring D to the back
-        patches = patches.reshape(nbh * nbw, D, wh * ww)
-        corr_l = jnp.einsum("bqd,bdp->bqp", f1b, patches,
-                            precision=precision,
-                            preferred_element_type=jnp.float32)
-        corr_l = (corr_l * scale).reshape(nb * bq, wh, ww)
-        volumes.append(corr_l if out_dtype is None
-                       else corr_l.astype(out_dtype))
+        if out_dtype is not None:
+            fp = fp.astype(out_dtype)
+        if use_pallas:
+            # one window DMA + one MXU matmul per block — the framework's
+            # compiled native kernel (ops/pallas/local_corr.py)
+            from ..ops.pallas.local_corr import block_local_corr
+            corr_l = block_local_corr(
+                f1b.astype(fp.dtype), fp, sh, sw, wh, ww, nbh, nbw,
+                out_dtype or jnp.float32)
+        else:
+            # XLA fallback: per-block source windows at static origins
+            # (by*sh, bx*sw) via nbh + nbw static strided slices
+            # (conv_general_dilated_patches would materialize a multi-GB
+            # one-hot filter here)
+            bands = jnp.stack([
+                jax.lax.slice_in_dim(fp, by * sh, by * sh + wh, axis=0)
+                for by in range(nbh)])                     # (nbh,wh,Wp,D)
+            patches = jnp.stack([
+                jax.lax.slice_in_dim(bands, bx * sw // 8 * 8,
+                                     bx * sw // 8 * 8 + ww, axis=2)
+                for bx in range(nbw)], axis=1)             # (nbh,nbw,wh,ww,D)
+            patches = patches.reshape(nbh * nbw, wh * ww, D)
+            corr_l = jnp.einsum("bqd,bpd->bqp", f1b.astype(patches.dtype),
+                                patches, precision=precision,
+                                preferred_element_type=jnp.float32)
+            corr_l = corr_l * scale
+            if out_dtype is not None:
+                corr_l = corr_l.astype(out_dtype)
+        volumes.append(corr_l.reshape(nb * bq, wh, ww))
         if l + 1 < num_levels:
             lv = avg_pool2d(lv[None].astype(jnp.float32))[0]
     return LocalCorrVolumes(volumes, meta)
@@ -482,9 +505,11 @@ def corr_lookup_local(local, coords, radius=4):
         d = dict(lv_meta)
         pad_l, wh, ww, sh, sw = d["pad"], d["wh"], d["ww"], d["sh"], d["sw"]
         # window-local coords: level coords + pad - static block origin
-        by = jnp.repeat(jnp.arange(nbh, dtype=jnp.float32) * sh, nbw)
-        bx = jnp.tile(jnp.arange(nbw, dtype=jnp.float32) * sw, nbh)
-        origin = jnp.stack([bx, by], -1)[:, None]          # (NB, 1, 2)
+        # (x-origin quantized to the sublane tile, see _local_layout)
+        by = jnp.repeat(jnp.arange(nbh, dtype=jnp.int32) * sh, nbw)
+        bx = (jnp.tile(jnp.arange(nbw, dtype=jnp.int32) * sw, nbh)
+              // 8) * 8
+        origin = jnp.stack([bx, by], -1)[:, None].astype(jnp.float32)
         c = (cb.reshape(nb, bq, 2) / (2.0 ** l)) + pad_l - origin
         # clamp into the stored window (saturate out-of-range centroids)
         c = jnp.stack([
@@ -520,7 +545,7 @@ def corr_lookup_local_sparse(local, coords, cells, radius=4):
         pad_l, wh, ww, sh, sw = d["pad"], d["wh"], d["ww"], d["sh"], d["sw"]
         sub = corr_l[bidx]                                 # (M, wh, ww)
         oy = ((cy // bh) * sh).astype(jnp.float32)
-        ox = ((cx // bw) * sw).astype(jnp.float32)
+        ox = (((cx // bw) * sw) // 8 * 8).astype(jnp.float32)
         c = coords / (2.0 ** l) + pad_l
         c = jnp.stack([
             jnp.clip(c[..., 0] - ox, radius, ww - radius - 1.001),

@@ -1,0 +1,83 @@
+"""Block-local correlation-volume construction as a Pallas TPU kernel.
+
+The TPU-native replacement for the reference's CUDA correlation kernel
+(ref:pytracking/external/RAFT/alt_cuda_corr/correlation_kernel.cu:19-119),
+built around what this hardware is actually good at: each grid program owns
+one (8, 16) query block, DMAs the block's shared source-feature window from
+HBM into VMEM once, and runs ONE clean MXU matmul
+(128 queries x D) @ (D x wh*ww) — no scattered fetches anywhere. The XLA
+fallback path (models/corr.py:build_local_corr) produces identical values;
+this kernel removes XLA's patch-materialisation copies (~3-5 ms/frame at
+1080p) and is the compiled native kernel the framework ships.
+
+Used by build_local_corr(..., use_pallas=True); interpret-mode tested on
+CPU for bit-parity with the XLA path in tests/test_corr_impls.py.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(sh, sw, wh, ww, nbw, scale):
+    def kernel(f1_ref, f2_ref, out_ref, win_scratch, sem):
+        b = pl.program_id(0)
+        by = b // nbw
+        bx = b % nbw
+        # x-origin quantized to the sublane tile (8) — Mosaic requires
+        # provably 8-aligned Wp offsets; _local_layout budgets ww for it
+        sx = pl.multiple_of((bx * sw) // 8 * 8, 8)
+        dma = pltpu.make_async_copy(
+            f2_ref.at[pl.ds(by * sh, wh), pl.ds(sx, ww), :],
+            win_scratch,
+            sem)
+        dma.start()
+        dma.wait()
+        d = f1_ref.shape[-1]
+        win = win_scratch[:].reshape(wh * ww, d)
+        corr = jax.lax.dot_general(
+            f1_ref[0], win,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (128, wh*ww)
+        out_ref[0] = (corr * scale).astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sh", "sw", "wh", "ww", "nbh", "nbw",
+                                    "out_dtype"))
+def block_local_corr(f1b, f2pad, sh, sw, wh, ww, nbh, nbw, out_dtype):
+    """corr[b, q, p] = <f1b[b, q], window_b.reshape(-1, D)[p]> * scale.
+
+    Args:
+        f1b: (nb, BQ, D) blocked query features (BQ typically 128).
+        f2pad: (Hp, Wp, D) zero-padded (pooled) target features.
+        sh, sw: block window stride; wh, ww: window size; nbh*nbw = nb.
+        out_dtype: volume dtype.
+    Returns:
+        (nb, BQ, wh*ww).
+    """
+    nb, bq, d = f1b.shape
+    scale = 1.0 / math.sqrt(d)
+
+    return pl.pallas_call(
+        _make_kernel(sh, sw, wh, ww, nbw, scale),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, wh * ww), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, bq, wh * ww), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((wh, ww, d), f2pad.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(f1b, f2pad)

@@ -68,6 +68,39 @@ def grid_sample(img, coords, mode="bilinear"):
     x0 = x0.astype(jnp.int32)
     y0 = y0.astype(jnp.int32)
 
+    C = img.shape[-1]
+    n_idx = 1
+    for s in x.shape:
+        n_idx *= s
+    if C * 4 <= 16 and n_idx <= 400_000:
+        # Pack the 2x2 bilinear neighbourhood into channels over a 1px zero
+        # border (the border realises grid_sample's zero padding for
+        # half-out corners) and fetch all four corners with ONE gather —
+        # 4x fewer indices. Wins for window-sized outputs (256-512px:
+        # window tracker 116 -> 128 fps at 1080p input); at full-frame
+        # index counts (2M+) the 12-channel gather falls off XLA's fast
+        # gather path and is ~4x SLOWER than four 3-channel gathers —
+        # hence the size gate (measured r2).
+        pimg = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        packed = jnp.concatenate(
+            [pimg[:, :H + 1, :W + 1], pimg[:, :H + 1, 1:],
+             pimg[:, 1:, :W + 1], pimg[:, 1:, 1:]], axis=-1)
+        yc = jnp.clip(y0, -1, H - 1) + 1
+        xc = jnp.clip(x0, -1, W - 1) + 1
+        v = _gather_nhwc(packed, yc, xc)
+        okx0 = (x0 >= 0) & (x0 < W)
+        okx1 = (x0 + 1 >= 0) & (x0 + 1 < W)
+        oky0 = (y0 >= 0) & (y0 < H)
+        oky1 = (y0 + 1 >= 0) & (y0 + 1 < H)
+        w00 = (1 - fx) * (1 - fy) * (okx0 & oky0).astype(img.dtype)
+        w01 = fx * (1 - fy) * (okx1 & oky0).astype(img.dtype)
+        w10 = (1 - fx) * fy * (okx0 & oky1).astype(img.dtype)
+        w11 = fx * fy * (okx1 & oky1).astype(img.dtype)
+        return (v[..., 0 * C:1 * C] * w00[..., None]
+                + v[..., 1 * C:2 * C] * w01[..., None]
+                + v[..., 2 * C:3 * C] * w10[..., None]
+                + v[..., 3 * C:4 * C] * w11[..., None])
+
     out = None
     for dy, wy in ((0, (1 - fy)), (1, fy)):
         for dx, wx in ((0, (1 - fx)), (1, fx)):
@@ -164,6 +197,32 @@ def warp_validity_mask(H, src_hw, out_shape=None):
     ok = ((sxy[..., 0] > -1.0) & (sxy[..., 0] < src_w)
           & (sxy[..., 1] > -1.0) & (sxy[..., 1] < src_h))
     return ok.reshape(H.shape[0], out_h, out_w)
+
+
+def warp_validity_at(H, src_hw, pts):
+    """``warp_validity_mask`` values at specific points — analytic, no
+    gather (TPU: a 2M-point boolean gather costs ~22ms at 1080p; the same
+    einsum + box check costs ~1ms and is bit-identical because the mask
+    itself is defined by this formula).
+
+    Args:
+        H: (3, 3) forward homography (src -> dst).
+        src_hw: (src_h, src_w).
+        pts: (N, 2) float/int (x, y) destination points.
+    Returns:
+        (N,) bool — warp_validity_mask(H, src_hw)[y, x] at those points.
+    """
+    src_h, src_w = src_hw
+    Hinv = jnp.linalg.inv(H.astype(jnp.float32))
+    p = jnp.concatenate([pts.astype(jnp.float32),
+                         jnp.ones_like(pts[:, :1], jnp.float32)], axis=-1)
+    src = jnp.einsum('nij,pj->npi', Hinv[None], p,
+                     precision=jax.lax.Precision.HIGHEST)[0]
+    z = src[..., 2:3]
+    sxy = src[..., :2] / jnp.where(jnp.abs(z) < 1e-12,
+                                   jnp.where(z < 0, -1e-12, 1e-12), z)
+    return ((sxy[..., 0] > -1.0) & (sxy[..., 0] < src_w)
+            & (sxy[..., 1] > -1.0) & (sxy[..., 1] < src_h))
 
 
 def upsample2d_align_corners(x, out_hw):

@@ -23,8 +23,9 @@ import jax.numpy as jnp
 
 from ..models.raft import RaftConfig, weighted_raft_forward, encode_template
 from ..ops.pad import make_padder
-from ..ops.warp import warp_perspective, warp_validity_mask
-from .woft import (TrackerParams, _estimate_h, _select_tcs, _success_check)
+from ..ops.warp import warp_perspective, warp_validity_at
+from .woft import (TrackerParams, _estimate_h, _select_tcs,
+                   _select_tcs_sparse, _success_check)
 
 
 @dataclass(frozen=True)
@@ -160,6 +161,11 @@ def build_window_track_step(raft_cfg: RaftConfig, tp: TrackerParams,
         return flow, weights
 
     flow = flow_fn if flow_fn is not None else run_flow
+    # sparse weight-head path (see tracker/woft.py): head + convex upsample
+    # only at the cells the 500-point solver consumes
+    sparse_ok = (flow_fn is None and tp.sparse_weights
+                 and raft_cfg.variant == "weighted" and not raft_cfg.small
+                 and tp.padding_mode == "nopad")
 
     def step(params, state, frame):
         frame_hw = frame.shape[1:3]
@@ -177,16 +183,17 @@ def build_window_track_step(raft_cfg: RaftConfig, tp: TrackerParams,
         h_prior = state["h_tmpl_crop"] @ (h_last_good @ h_crop_inv)
         h_prior = h_prior / h_prior[2, 2]
 
-        # pre-warp the window by the prior and compute its validity mask
+        # pre-warp the window by the prior
         prewarped = warp_perspective(window, h_prior)
-        pw_ok_window = warp_validity_mask(h_prior, (S, S))[0]
-        # pixels sampled from outside the full frame are invalid too
-        frame_ok = warp_validity_mask(
-            (h_prior @ h_crop), frame_hw, out_shape=(S, S))[0]
-        pw_mask = pw_ok_window & frame_ok
 
-        wflow, wweights = flow(params, state["tmpl_window"], prewarped,
-                               state["tmpl_feats"])
+        if sparse_ok:
+            wfo = weighted_raft_forward(params, raft_cfg, None, prewarped,
+                                        template_feats=state["tmpl_feats"],
+                                        sparse_weight_head=True)
+            wflow, wweights = wfo["flow_up"], None
+        else:
+            wflow, wweights = flow(params, state["tmpl_window"], prewarped,
+                                   state["tmpl_feats"])
 
         dst = (jnp.stack(
             [(jnp.arange(hw) % S).astype(jnp.float32),
@@ -197,12 +204,20 @@ def build_window_track_step(raft_cfg: RaftConfig, tp: TrackerParams,
                | (dst_int[:, 0] >= S) | (dst_int[:, 1] >= S))
         in_pw = ~oob
         if tp.use_pw_mask:
-            in_pw &= pw_mask[jnp.clip(dst_int[:, 1], 0, S - 1),
-                             jnp.clip(dst_int[:, 0], 0, S - 1)]
+            # pre-warp + in-frame validity evaluated analytically AT the
+            # dst points (no boolean-mask gather; see tracker/woft.py)
+            pts = jnp.stack([jnp.clip(dst_int[:, 0], 0, S - 1),
+                             jnp.clip(dst_int[:, 1], 0, S - 1)], -1)
+            in_pw &= warp_validity_at(h_prior, (S, S), pts)
+            in_pw &= warp_validity_at(h_prior @ h_crop, frame_hw, pts)
         valid = state["tmpl_mask_window"].reshape(hw) & in_pw
 
-        src_g, dst_g, w_g, sel, _ = _select_tcs(wflow, wweights, valid,
-                                                tp.subsample_n)
+        if sparse_ok:
+            src_g, dst_g, w_g, sel = _select_tcs_sparse(wflow, wfo, valid,
+                                                        tp.subsample_n)
+        else:
+            src_g, dst_g, w_g, sel, _ = _select_tcs(wflow, wweights, valid,
+                                                    tp.subsample_n)
         h_pw2tmpl = _estimate_h(tp, dst_g, src_g, w_g, sel)
         ok, inlier_frac = _success_check(tp, h_pw2tmpl, dst_g, src_g,
                                          sel[0:1])
@@ -217,7 +232,6 @@ def build_window_track_step(raft_cfg: RaftConfig, tp: TrackerParams,
         # local fallback: prev window -> cur window flow chained through
         # the previous window estimate (ref:YAOF:171-207)
         def local_branch(_):
-            lflow, lweights = flow(params, state["prev_window"], window)
             # valid where the previous window saw the template: warp the
             # template-window mask into prev-window coordinates
             prev_mask = warp_perspective(
@@ -226,8 +240,17 @@ def build_window_track_step(raft_cfg: RaftConfig, tp: TrackerParams,
                 jnp.linalg.inv(state["h_prev_win2tmplwin"]),
                 mode="nearest")
             lvalid = prev_mask.reshape(hw) > 0
-            lsrc, ldst, lw, lsel, _ = _select_tcs(lflow, lweights, lvalid,
-                                                  tp.subsample_n)
+            if sparse_ok:
+                lfo = weighted_raft_forward(params, raft_cfg,
+                                            state["prev_window"], window,
+                                            sparse_weight_head=True)
+                lsrc, ldst, lw, lsel = _select_tcs_sparse(
+                    lfo["flow_up"], lfo, lvalid, tp.subsample_n)
+            else:
+                lflow, lweights = flow(params, state["prev_window"], window)
+                lsrc, ldst, lw, lsel, _ = _select_tcs(lflow, lweights,
+                                                      lvalid,
+                                                      tp.subsample_n)
             hf = _estimate_h(tp, ldst, lsrc, lw, lsel)[0]  # cur->prev window
             # full chain: cur frame -> cur window -> prev window ->
             #             prev frame -> init

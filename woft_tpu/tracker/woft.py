@@ -43,7 +43,7 @@ from ..geometry.homography import (
 from ..models.raft import RaftConfig, weighted_raft_forward, encode_template
 from ..ops.pad import make_padder
 from ..ops.sampling import masked_sobol_gather
-from ..ops.warp import warp_perspective, warp_validity_mask
+from ..ops.warp import warp_perspective, warp_validity_at
 
 logger = logging.getLogger(__name__)
 
@@ -316,10 +316,8 @@ def build_track_step(raft_cfg: RaftConfig, tp: TrackerParams, flow_fn=None):
         last_good = jnp.where(reset, jnp.eye(3, dtype=jnp.float32),
                               state.last_good_h2init)
 
-        # pre-warp by the last good homography (ref:YAOF:83-96);
-        # the validity mask is analytic (no second warp)
+        # pre-warp by the last good homography (ref:YAOF:83-96)
         prewarped = warp_perspective(frame, last_good)
-        pw_mask = warp_validity_mask(last_good, (H_img, W_img))[0]
 
         # global flow template -> prewarped current (ref:YAOF:98-131)
         if sparse_ok:
@@ -341,9 +339,13 @@ def build_track_step(raft_cfg: RaftConfig, tp: TrackerParams, flow_fn=None):
                | (dst_int[:, 0] >= W_img) | (dst_int[:, 1] >= H_img))
         in_pw = ~oob
         if tp.use_pw_mask:
-            lookup = pw_mask[jnp.clip(dst_int[:, 1], 0, H_img - 1),
-                             jnp.clip(dst_int[:, 0], 0, W_img - 1)]
-            in_pw &= lookup
+            # pre-warp validity AT the dst points, analytically — the
+            # mask is defined by a box check on Hinv @ p, so evaluating
+            # it at clip(dst_int) equals gathering warp_validity_mask
+            # there, without the 2M-point scalar gather (~22ms at 1080p)
+            pts = jnp.stack([jnp.clip(dst_int[:, 0], 0, W_img - 1),
+                             jnp.clip(dst_int[:, 1], 0, H_img - 1)], -1)
+            in_pw &= warp_validity_at(last_good, (H_img, W_img), pts)
         valid = state.template_mask.reshape(hw) & in_pw
         if vis is not None:
             # visibility mask feeds TC validity ('weighted_masked',

@@ -78,22 +78,52 @@ def vis_flow_arrows(flow, canvas, grid_sz=20, color=(0, 255, 0),
     return out
 
 
-def flow_to_image(flow, clip_flow=None):
-    """Middlebury/Baker flow colour wheel (ref:raft_core/utils/flow_viz.py),
-    re-derived: hue = direction, saturation = magnitude."""
-    u = flow[..., 0].astype(np.float32)
-    v = flow[..., 1].astype(np.float32)
+def baker_colorwheel():
+    """The 55-entry Middlebury/Baker optical-flow colour wheel.
+
+    Same table as Scharstein's original evaluation code
+    (ref:raft_core/utils/flow_viz.py:20-68; Baker et al., ICCV 2007),
+    built here from the six hue segments as (start RGB, ramp channel, sign):
+    within each segment one channel ramps linearly by floor(255*i/len)."""
+    # (length, base RGB, ramping channel, direction)
+    segments = [(15, (255, 0, 0), 1, +1),     # R -> Y
+                (6, (255, 255, 0), 0, -1),    # Y -> G
+                (4, (0, 255, 0), 2, +1),      # G -> C
+                (11, (0, 255, 255), 1, -1),   # C -> B
+                (13, (0, 0, 255), 0, +1),     # B -> M
+                (6, (255, 0, 255), 2, -1)]    # M -> R
+    rows = []
+    for length, base, ch, sign in segments:
+        seg = np.tile(np.asarray(base, np.float64), (length, 1))
+        ramp = np.floor(255.0 * np.arange(length) / length)
+        seg[:, ch] = base[ch] + sign * ramp
+        rows.append(seg)
+    return np.concatenate(rows)                           # (55, 3)
+
+
+def flow_to_image(flow, clip_flow=None, convert_to_bgr=False):
+    """Baker flow colouring, exact twin of the reference
+    (ref:raft_core/utils/flow_viz.py:71-131): angle interpolates the
+    55-colour wheel, radius (normalised to the frame max) desaturates
+    toward white, out-of-range radii darken to 75%."""
+    u = flow[..., 0].astype(np.float64)
+    v = flow[..., 1].astype(np.float64)
     if clip_flow is not None:
-        u = np.clip(u, -clip_flow, clip_flow)
-        v = np.clip(v, -clip_flow, clip_flow)
+        u = np.clip(u, 0, clip_flow)
+        v = np.clip(v, 0, clip_flow)
     rad = np.sqrt(u ** 2 + v ** 2)
-    rad_max = max(np.max(rad), 1e-5)
-    import cv2
-    ang = (np.arctan2(-v, -u) / np.pi + 1) * 90          # 0..180
-    hsv = np.stack([ang.astype(np.uint8),
-                    np.uint8(255 * np.clip(rad / rad_max, 0, 1)),
-                    np.full_like(ang, 255, dtype=np.uint8)], axis=-1)
-    return cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+    rad = rad / (np.max(rad) + 1e-5)
+
+    wheel = baker_colorwheel() / 255.0                    # (55, 3)
+    ncols = wheel.shape[0]
+    fk = (np.arctan2(-v, -u) / np.pi + 1) / 2 * (ncols - 1)
+    k0 = np.floor(fk).astype(np.int32)
+    f = (fk - k0)[..., None]
+    col = (1 - f) * wheel[k0] + f * wheel[(k0 + 1) % ncols]
+    col = np.where(rad[..., None] <= 1,
+                   1 - rad[..., None] * (1 - col), 0.75 * col)
+    img = np.floor(255 * col).astype(np.uint8)
+    return img[..., ::-1] if convert_to_bgr else img
 
 
 def vis_flow_align(flow, img_a, img_b, grid_sz=20, arrow_color=None,
