@@ -198,3 +198,152 @@ def griddify(images, cols):
         r, c = divmod(i, cols)
         canvas[r * h:r * h + im.shape[0], c * w:c * w + im.shape[1]] = im
     return canvas
+
+
+def hatch_pattern(shape, normal=(2, 1), spacing=10):
+    """Parallel-line hatch raster (ref:vis_utils.py:29-65, re-derived):
+    a pixel lies on a line when its signed distance to the line family
+    (unit ``normal``, period ``spacing``) rounds to a multiple of spacing.
+    Vectorized modulo test instead of the reference's per-line cv2.line."""
+    H, W = shape[:2]
+    n = np.asarray(normal, np.float64)
+    n = n / np.linalg.norm(n)
+    ys, xs = np.mgrid[:H, :W]
+    d = xs * n[0] + ys * n[1]
+    frac = d % spacing
+    on_line = np.minimum(frac, spacing - frac) <= 0.5
+    return np.where(on_line, np.uint8(255), np.uint8(0))
+
+
+def cv2_hatch(canvas, mask, color=(0, 0, 0), alpha=1.0, **kwargs):
+    """Hatch overlay where ``mask`` is True (ref:vis_utils.py:17-26)."""
+    hm = (np.asarray(mask, bool) & (hatch_pattern(canvas.shape, **kwargs) > 0))
+    overlay = hm[..., None] * np.asarray(color, np.uint8)[None, None]
+    a = (hm * alpha)[..., None]
+    return (a * overlay + (1 - a) * canvas).astype(np.uint8)
+
+
+def cv2_colorbar(img, vmin, vmax, colormap=None):
+    """Append a labelled colorbar strip under ``img``
+    (ref:vis_utils.py:129-169; cv2 colormaps instead of matplotlib)."""
+    import cv2
+    if img.shape[1] < 300:
+        s = int(np.ceil(300 / img.shape[1]))
+        img = cv2.resize(img, None, fx=s, fy=s,
+                         interpolation=cv2.INTER_NEAREST)
+    ramp = np.tile(np.linspace(0, 255, img.shape[1], dtype=np.uint8),
+                   (20, 1))
+    bar = cv2.applyColorMap(ramp, colormap if colormap is not None
+                            else cv2.COLORMAP_VIRIDIS)
+    sep = np.zeros((1, img.shape[1], 3), img.dtype)
+    vis = np.vstack([img, sep, bar]).copy()
+    font = cv2.FONT_HERSHEY_SIMPLEX
+    for text, left in ((f"{vmin:.2f}", True), (f"{vmax:.2f}", False)):
+        (tw, _), base = cv2.getTextSize(text, font, 0.5, 1)
+        x = 5 if left else img.shape[1] - 5 - tw
+        cv2.putText(vis, text, (x, img.shape[0] - 5 - base - 1), font, 0.5,
+                    (255, 255, 255), 1, cv2.LINE_AA)
+    return vis
+
+
+def vis_alignment(init_img, current_img, h_cur2init, init_xywh, margin=0.0,
+                  show_frames=True):
+    """Template-crop alignment comparison (ref:vis_utils.py:237-276):
+    warp the current frame into template coordinates, crop both around the
+    (margin-grown) init box, blend magenta/green, outline the box."""
+    import cv2
+    x, y, w, h = (int(round(v)) for v in init_xywh)
+    mx, my = int(margin * w), int(margin * h)
+    x0, y0 = x - mx, y - my
+    x1, y1 = x + w + mx, y + h + my
+
+    warped = cv2.warpPerspective(current_img, h_cur2init,
+                                 (init_img.shape[1], init_img.shape[0]))
+
+    def crop(im):
+        pad_t, pad_l = max(0, -y0), max(0, -x0)
+        c = im[max(0, y0):y1, max(0, x0):x1]
+        return cv2.copyMakeBorder(c, pad_t, max(0, y1 - im.shape[0]),
+                                  pad_l, max(0, x1 - im.shape[1]),
+                                  cv2.BORDER_CONSTANT)
+
+    template = crop(init_img)
+    current = crop(warped)
+    blend = vis_alignment_plain(current, template)
+    box = (mx, my, w, h)
+    for im in (template, current, blend):
+        cv2.rectangle(im, (box[0], box[1]),
+                      (box[0] + box[2], box[1] + box[3]), (0, 0, 255), 1)
+    if show_frames:
+        return np.concatenate([template, current, blend], axis=1)
+    return blend
+
+
+def make_knn_interp(db_xy, db_values):
+    """K-NN interpolator factory (ref:vis_utils.py:543-590): scipy cKDTree
+    lookup, the reference's (-d)/sum(-d) weighting, NaN for empty/short
+    neighbourhoods."""
+    from scipy.spatial import cKDTree
+    tree = cKDTree(np.asarray(db_xy))
+    n = len(db_xy)
+    vals_db = np.asarray(db_values, np.float64)
+
+    def interp(query_xy, K, max_dist=None, min_K=None):
+        bound = np.inf if max_dist is None else max_dist
+        dists, ids = tree.query(np.asarray(query_xy), k=K,
+                                distance_upper_bound=bound)
+        dists = np.atleast_2d(dists)
+        ids = np.atleast_2d(ids)
+        ok = ids < n
+        d = np.where(ok, dists, np.nan)
+        w = (-d) / np.nansum(-d, axis=-1, keepdims=True)
+        v = np.where(ok, vals_db[np.minimum(ids, n - 1)], np.nan) * w
+        out = np.nansum(v, axis=-1)
+        bad = ~ok.any(axis=-1)
+        if min_K is not None:
+            bad |= ok.sum(axis=-1) < min_K
+        out[bad] = np.nan
+        return out
+
+    return interp
+
+
+class OverlayBackground:
+    """Capture backgrounds, then alpha-mix drawn-over copies back onto them
+    (ref:vis_utils.py:944-962)."""
+
+    def __init__(self, *backgrounds):
+        self._bg = [im.copy() for im in backgrounds]
+
+    def overlay(self, *drawn, alpha=0.5):
+        import cv2
+        return [cv2.addWeighted(d, alpha, b, 1 - alpha, 0)
+                for d, b in zip(drawn, self._bg)]
+
+
+def line(img, pt1, pt2, color, thickness=1, line_type=None, shift=4):
+    """cv2.line accepting float endpoints via fixed-point shift
+    (ref:vis_utils.py:395-432 subpixel prims)."""
+    import cv2
+    m = 2 ** shift
+    p1 = tuple(int(round(m * v)) for v in pt1)
+    p2 = tuple(int(round(m * v)) for v in pt2)
+    return cv2.line(img, p1, p2, color, thickness,
+                    line_type or cv2.LINE_AA, shift)
+
+
+def circle(img, center, radius, color, thickness=1, shift=4):
+    """cv2.circle with float center/radius (ref:vis_utils.py:411-420)."""
+    import cv2
+    m = 2 ** shift
+    c = tuple(int(round(m * v)) for v in center)
+    return cv2.circle(img, c, int(round(m * radius)), color, thickness,
+                      cv2.LINE_AA, shift)
+
+
+def polylines(img, pts, is_closed, color, thickness=1, shift=4):
+    """cv2.polylines with float points (ref:vis_utils.py:423-430)."""
+    import cv2
+    p = np.round((2 ** shift) * np.asarray(pts)).astype(np.int32)
+    return cv2.polylines(img, [p], is_closed, color, thickness,
+                         cv2.LINE_AA, shift=shift)
