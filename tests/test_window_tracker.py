@@ -9,6 +9,7 @@ from woft_tpu.models.raft import RaftConfig
 from woft_tpu.tracker import TrackerParams
 from woft_tpu.tracker.window_step import (
     WindowParams,
+    _search_crop_h as _search_crop_h_pub,
     build_window_track_step,
     window_init_state,
 )
@@ -102,6 +103,44 @@ def test_known_translation(frame_and_mask):
     h = np.asarray(h)
     assert np.allclose(h, h_true, atol=5e-3), h
     assert bool(np.asarray(meta["global_H_success"]))
+
+
+def test_with_aspect_grows_never_shrinks():
+    from woft_tpu.geometry.bbox import Bbox
+    wide = Bbox.from_xywh((10, 20, 100, 40))
+    sq = wide.with_aspect(1.0)
+    assert (sq.w, sq.h) == (100, 100)
+    assert sq.tl_x == 10 and abs(sq.get_center()[1] - wide.get_center()[1]) <= 1
+    tall = Bbox.from_xywh((0, 0, 30, 90))
+    sq = tall.with_aspect(1.0)
+    assert (sq.w, sq.h) == (90, 90)
+    already = Bbox.from_xywh((5, 5, 64, 64)).with_aspect(1.0)
+    assert (already.w, already.h) == (64, 64)
+
+
+def test_square_crop_isotropic(frame_and_mask):
+    """square=True (default) must yield equal x/y scales in the crop
+    homography for an anisotropic target; square=False reproduces the old
+    anisotropic squeeze."""
+    frame, mask = frame_and_mask
+    corners = jnp.asarray([[40.0, 30.0], [100.0, 30.0],
+                           [100.0, 70.0], [40.0, 70.0]])   # 60x40 bbox
+    wp_sq = WindowParams(size=S, margin=0.4, min_px=20, square=True)
+    wp_an = WindowParams(size=S, margin=0.4, min_px=20, square=False)
+    h_sq = np.asarray(_search_crop_h_pub(jnp.eye(3), corners,
+                                         (H_IMG, W_IMG), wp_sq))
+    h_an = np.asarray(_search_crop_h_pub(jnp.eye(3), corners,
+                                         (H_IMG, W_IMG), wp_an))
+    assert np.isclose(h_sq[0, 0], h_sq[1, 1]), h_sq
+    assert h_an[0, 0] < h_an[1, 1]    # wide bbox squeezed harder in x
+
+    # template crop path agrees
+    cfg = RaftConfig(variant="weighted", iters=1)
+    tp = TrackerParams(padding_mode="nopad")
+    state = window_init_state({}, cfg, tp, wp_sq, frame,
+                              jnp.asarray(mask), encode=False)
+    h_tmpl = np.asarray(state["h_tmpl_crop"])
+    assert np.isclose(h_tmpl[0, 0], h_tmpl[1, 1]), h_tmpl
 
 
 def test_window_sparse_weight_path_matches_dense():

@@ -40,6 +40,8 @@ def parse_args():
                    help="train the whole net (reference fine-tune: 1e-5)")
     p.add_argument("--epe-weight", type=float, default=0.0,
                    help="dense EPE supervision weight (from-scratch runs)")
+    p.add_argument("--grad-clip", type=float, default=1.0,
+                   help="global-norm gradient clip (0 = off)")
     p.add_argument("--iters", type=int, default=12)
     p.add_argument("--init", type=Path,
                    help="torch .pth or orbax checkpoint to start from")
@@ -121,7 +123,8 @@ def main():
     tcfg = TrainConfig(learning_rate=args.lr, train_flow=args.train_flow,
                        steps_per_epoch=args.steps_per_epoch,
                        epe_weight=args.epe_weight,
-                       subsample="grid" if args.grid_subsample else "sobol")
+                       subsample="grid" if args.grid_subsample else "sobol",
+                       grad_clip=args.grad_clip)
 
     params = init_raft_params(jax.random.PRNGKey(args.seed), cfg)
     if args.init:

@@ -21,7 +21,8 @@ def get_config():
         Path(__file__).resolve().parent / "flow" / "wraft_large.py")
     conf.flow_config.weights_postprocessing_fn = None
 
-    conf.window_size = 256
+    import os
+    conf.window_size = int(os.environ.get("WOFT_WINDOW_SIZE", 256))
     conf.window_margin = 0.5
     conf.min_window_px = 160
 

@@ -26,9 +26,14 @@ def get_config():
     conf.class_params.weight_head_structure = [(128, 3), (128, 3), (128, 3)]
 
     weight_dir = Path(__file__).resolve().parent.parent.parent.parent / "weights"
-    # preference order: natively trained orbax checkpoints, then the
-    # reference .pth (absent upstream), then seeded random init
-    candidates = [weight_dir / "wraft_tpu_v2",
+    # preference order: WOFT_WRAFT_CKPT override, natively trained orbax
+    # checkpoints, then the reference .pth (absent upstream), then seeded
+    # random init
+    import os
+    env_ckpt = os.environ.get("WOFT_WRAFT_CKPT")
+    candidates = ([Path(env_ckpt)] if env_ckpt else []) + \
+                 [weight_dir / "wraft_tpu_v3",
+                  weight_dir / "wraft_tpu_v2",
                   weight_dir / "wraft_tpu_v1",
                   weight_dir / "wraft_tpu_v0",
                   weight_dir / "v2_SNOB_large_g05_RAFT/wraft_weights-ep01-end.pth"]

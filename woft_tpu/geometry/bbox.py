@@ -88,6 +88,22 @@ class Bbox:
         missing = max(missing_w / self.w, missing_h / self.h)
         return self.with_margins(missing) if missing > 0 else self
 
+    def with_aspect(self, aspect):
+        """Grow symmetrically (never shrink) to the given w/h aspect.
+
+        Used by the fixed-window tracker to keep the bbox->window resample
+        isotropic: the reference crops at native scale so it never distorts
+        (ref:WOFT_window.py:37-44); with a square window, squeezing an
+        elongated search bbox anisotropically would both over-downscale one
+        axis and feed RAFT distorted content."""
+        if self.w < aspect * self.h:          # too tall -> widen
+            grow = aspect * self.h - self.w
+            return Bbox.from_xyxy((self.tl_x - grow / 2, self.tl_y,
+                                   self.br_x + grow / 2, self.br_y))
+        grow = self.w / aspect - self.h       # too wide -> heighten
+        return Bbox.from_xyxy((self.tl_x, self.tl_y - grow / 2,
+                               self.br_x, self.br_y + grow / 2))
+
     def intersection(self, other):
         return Bbox.from_xyxy([max(self.tl_x, other.tl_x),
                                max(self.tl_y, other.tl_y),

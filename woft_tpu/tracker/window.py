@@ -47,6 +47,10 @@ class WOFTWindowTracker:
         self.S = int(config.window_size or 256)
         self.margin = float(config.window_margin or 0.5)
         self.min_px = int(config.min_window_px or 160)
+        # isotropic crops by default: grow the (template/search) bbox to the
+        # window's square aspect instead of squeezing it anisotropically
+        # (set ``window_aniso_crop = True`` to opt out)
+        self.square_crop = not bool(config.window_aniso_crop)
         base_tp = (config.tracker_params
                    if isinstance(config.tracker_params, TrackerParams)
                    else TrackerParams())
@@ -70,6 +74,8 @@ class WOFTWindowTracker:
         box = project_bbox(self.template_bbox, h_init2cur)
         box = box.with_margins_min_size(self.min_px)
         box = box.with_margins(self.margin)
+        if self.square_crop:
+            box = box.with_aspect(1.0)
         frame_box = Bbox.from_xywh((0, 0, frame_shape[1], frame_shape[0]))
         inter = box.intersection(frame_box)
         if inter.w < 8 or inter.h < 8:   # lost far outside: search everywhere
@@ -81,6 +87,8 @@ class WOFTWindowTracker:
     def init(self, img, mask, img_identifier=None):
         import cv2
         self.template_bbox = Bbox.from_mask(mask > 0).with_margins(self.margin)
+        if self.square_crop:
+            self.template_bbox = self.template_bbox.with_aspect(1.0)
         self.h_tmpl_crop = h_bbox2bbox(
             self.template_bbox, Bbox.from_xywh((0, 0, self.S, self.S)))
 

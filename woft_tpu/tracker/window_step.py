@@ -33,6 +33,10 @@ class WindowParams:
     size: int = 256          # fixed window resolution (static)
     margin: float = 0.5      # bbox margin fraction
     min_px: float = 160.0    # min source bbox size (ref: 8*20)
+    square: bool = True      # grow the source bbox to the window's square
+    #                          aspect so the bbox->window resample is
+    #                          isotropic (the reference crops at native
+    #                          scale and never distorts, WOFT_window.py:37-44)
 
 
 def _bbox_to_window_h(x0, y0, w, h, S):
@@ -71,6 +75,12 @@ def _search_crop_h(h_last_good, tmpl_corners, frame_hw, wp: WindowParams):
     x_max = x_max + grow * w
     y_min = y_min - grow * h
     y_max = y_max + grow * h
+    if wp.square:
+        cx = (x_min + x_max) / 2
+        cy = (y_min + y_max) / 2
+        half = jnp.maximum(x_max - x_min, y_max - y_min) / 2
+        x_min, x_max = cx - half, cx + half
+        y_min, y_max = cy - half, cy + half
 
     H_img, W_img = frame_hw
     # degenerate/escaped box -> search the whole frame
@@ -105,6 +115,11 @@ def window_init_state(params, raft_cfg: RaftConfig, tp: TrackerParams,
     y0 -= wp.margin * h
     w *= 1 + 2 * wp.margin
     h *= 1 + 2 * wp.margin
+    if wp.square:
+        side = max(w, h)
+        x0 -= (side - w) / 2
+        y0 -= (side - h) / 2
+        w = h = side
     h_tmpl_crop = np.array([[S / w, 0, -S / w * x0],
                             [0, S / h, -S / h * y0],
                             [0, 0, 1.0]], np.float32)

@@ -41,6 +41,9 @@ class TrainConfig:
     subsample: str = "sobol"     # 'sobol' (tracker-matched: Sobol-n of
                                  # masked, in-bounds points) | 'grid'
     sobol_n: int = 500           # tracker subsample budget (configs/WOFT.py:36)
+    grad_clip: float = 1.0       # global-norm gradient clip (0 = off);
+                                 # full-net fine-tuning through the QR solve
+                                 # sees rare huge-residual batches
 
 
 def _subsample_grid(H, W, n):
@@ -152,10 +155,16 @@ def make_optimizer(params, tcfg: TrainConfig):
             staircase=True)
     else:
         schedule = lr
+    train_tx = optax.adamw(schedule)
+    if tcfg.grad_clip:
+        train_tx = optax.chain(optax.clip_by_global_norm(tcfg.grad_clip),
+                               train_tx)
     tx = optax.multi_transform(
-        {"trainable": optax.adamw(schedule), "frozen": optax.set_to_zero()},
+        {"trainable": train_tx, "frozen": optax.set_to_zero()},
         _trainable_mask(params, tcfg.train_flow))
-    return tx
+    # skip (don't apply) any update with non-finite grads instead of
+    # poisoning the params — one bad batch must not end a long run
+    return optax.apply_if_finite(tx, max_consecutive_errors=100)
 
 
 def init_train_state(params, tcfg: TrainConfig):
