@@ -24,14 +24,25 @@ def save_checkpoint(path, params, *, force=True):
 
 def load_checkpoint(path, like=None):
     """Restore a parameter pytree; ``like`` provides the target structure
-    (sharded/abstract restore)."""
+    (abstract restore).
+
+    Restores onto the current default device regardless of the device the
+    checkpoint was saved from (a TPU-saved checkpoint must load in CPU
+    sessions and vice versa); callers that want a mesh layout re-shard
+    after loading (parallel.mesh.replicate)."""
     import orbax.checkpoint as ocp
+    path = os.path.abspath(str(path))
     ckptr = ocp.StandardCheckpointer()
-    if like is not None:
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), like)
-        return ckptr.restore(os.path.abspath(str(path)), abstract)
-    return ckptr.restore(os.path.abspath(str(path)))
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    if like is None:
+        try:
+            like = ckptr.metadata(path).item_metadata
+        except Exception:        # older layout without readable metadata
+            return ckptr.restore(path)
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding),
+        like)
+    return ckptr.restore(path, abstract)
 
 
 def export_torch_pth(path, params):

@@ -32,6 +32,21 @@ from .woft import TrackerParams, build_track_step, tracker_init_state, \
 logger = logging.getLogger(__name__)
 
 
+def _shift_into(box, frame_box):
+    """Translate ``box`` to lie inside ``frame_box`` where it fits (partial
+    shift when larger than the frame) — keeps aspect-grown search regions
+    on-image without re-distorting them."""
+    dx = max(0.0, frame_box.tl_x - box.tl_x) \
+        - max(0.0, box.br_x - frame_box.br_x)
+    dy = max(0.0, frame_box.tl_y - box.tl_y) \
+        - max(0.0, box.br_y - frame_box.br_y)
+    if box.w > frame_box.w:
+        dx /= 2
+    if box.h > frame_box.h:
+        dy /= 2
+    return Bbox.from_xywh((box.tl_x + dx, box.tl_y + dy, box.w, box.h))
+
+
 class WOFTWindowTracker:
     """Fixed-window WOFT tracker with the reference init/track API.
 
@@ -47,10 +62,13 @@ class WOFTWindowTracker:
         self.S = int(config.window_size or 256)
         self.margin = float(config.window_margin or 0.5)
         self.min_px = int(config.min_window_px or 160)
-        # isotropic crops by default: grow the (template/search) bbox to the
-        # window's square aspect instead of squeezing it anisotropically
-        # (set ``window_aniso_crop = True`` to opt out)
-        self.square_crop = not bool(config.window_aniso_crop)
+        # isotropic crops by default: the window takes the template bbox's
+        # aspect at init (area ~= window_size^2, dims /8), so the
+        # bbox->window resample is undistorted at the best possible scale.
+        # ``window_aniso_crop = True`` opts out (fixed square window fed by
+        # anisotropically squeezed crops).
+        self.iso_crop = not bool(config.window_aniso_crop)
+        self.win_hw = (self.S, self.S)      # chosen per sequence in init()
         base_tp = (config.tracker_params
                    if isinstance(config.tracker_params, TrackerParams)
                    else TrackerParams())
@@ -67,34 +85,54 @@ class WOFTWindowTracker:
         from ..ops.warp import warp_perspective
         rgb = jnp.asarray(img_bgr[:, :, ::-1].astype(np.float32))[None]
         return warp_perspective(rgb, jnp.asarray(h_crop, jnp.float32),
-                                out_shape=(self.S, self.S))
+                                out_shape=self.win_hw)
 
     def _search_bbox(self, h_init2cur, frame_shape):
-        """Project the template bbox into the current frame and pad it."""
+        """Project the template bbox into the current frame and pad it.
+
+        Follows the reference order (ref:WOFT_window.py:37-44): margins,
+        intersect with the frame (never crop beyond the image — out-of-frame
+        content wastes window resolution), then min-size; the aspect growth
+        is translated back into the frame when it fits."""
         box = project_bbox(self.template_bbox, h_init2cur)
-        box = box.with_margins_min_size(self.min_px)
         box = box.with_margins(self.margin)
-        if self.square_crop:
-            box = box.with_aspect(1.0)
         frame_box = Bbox.from_xywh((0, 0, frame_shape[1], frame_shape[0]))
         inter = box.intersection(frame_box)
         if inter.w < 8 or inter.h < 8:   # lost far outside: search everywhere
             return frame_box
+        box = inter.with_margins_min_size(self.min_px)
+        if self.iso_crop:
+            box = box.with_aspect(self.win_hw[1] / self.win_hw[0])
+            box = _shift_into(box, frame_box)
         return box
 
     # ------------------------------------------------------------------
 
     def init(self, img, mask, img_identifier=None):
         import cv2
+        frame_box = Bbox.from_xywh((0, 0, img.shape[1], img.shape[0]))
         self.template_bbox = Bbox.from_mask(mask > 0).with_margins(self.margin)
-        if self.square_crop:
-            self.template_bbox = self.template_bbox.with_aspect(1.0)
+        self.template_bbox = self.template_bbox.intersection(frame_box)
+        if self.iso_crop:
+            # rectangular window matching the template aspect: same pixel
+            # area as window_size^2, dims multiples of 8, aspect clipped
+            aspect = np.clip(self.template_bbox.w
+                             / max(self.template_bbox.h, 1.0), 0.4, 2.5)
+            ww = int(np.clip(round(self.S * np.sqrt(aspect) / 8) * 8, 64,
+                             4 * self.S))
+            wh = int(np.clip(round(self.S * self.S / ww / 8) * 8, 64,
+                             4 * self.S))
+            self.win_hw = (wh, ww)
+            self.template_bbox = _shift_into(
+                self.template_bbox.with_aspect(ww / wh), frame_box)
         self.h_tmpl_crop = h_bbox2bbox(
-            self.template_bbox, Bbox.from_xywh((0, 0, self.S, self.S)))
+            self.template_bbox,
+            Bbox.from_xywh((0, 0, self.win_hw[1], self.win_hw[0])))
 
         tmpl_window = self._crop(img, self.h_tmpl_crop)
         mask_window = cv2.warpPerspective(
-            np.uint8(mask > 0), self.h_tmpl_crop, (self.S, self.S),
+            np.uint8(mask > 0), self.h_tmpl_crop,
+            (self.win_hw[1], self.win_hw[0]),
             flags=cv2.INTER_NEAREST) > 0
 
         self.state = tracker_init_state(
@@ -115,8 +153,8 @@ class WOFTWindowTracker:
         # search region around the previous estimate
         search = self._search_bbox(np.linalg.inv(self.h_last_good),
                                    input_img.shape)
-        h_cur_crop = h_bbox2bbox(search,
-                                 Bbox.from_xywh((0, 0, self.S, self.S)))
+        h_cur_crop = h_bbox2bbox(
+            search, Bbox.from_xywh((0, 0, self.win_hw[1], self.win_hw[0])))
         cur_window = self._crop(input_img, h_cur_crop)
 
         # crops change per frame, so the inner state's homography history

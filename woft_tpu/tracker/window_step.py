@@ -30,20 +30,45 @@ from .woft import (TrackerParams, _estimate_h, _select_tcs,
 
 @dataclass(frozen=True)
 class WindowParams:
-    size: int = 256          # fixed window resolution (static)
+    size: "int | tuple" = 256   # fixed window resolution: int (square) or
+    #                             (H, W) — rectangular windows let the crop
+    #                             match the target's aspect (see
+    #                             window_params_for_mask)
     margin: float = 0.5      # bbox margin fraction
     min_px: float = 160.0    # min source bbox size (ref: 8*20)
-    square: bool = True      # grow the source bbox to the window's square
-    #                          aspect so the bbox->window resample is
-    #                          isotropic (the reference crops at native
-    #                          scale and never distorts, WOFT_window.py:37-44)
+    square: bool = True      # grow the source bbox to the window's aspect
+    #                          so the bbox->window resample is isotropic
+    #                          (the reference crops at native scale and
+    #                          never distorts, WOFT_window.py:37-44)
+
+    @property
+    def shape(self):
+        """(H, W) window shape."""
+        if isinstance(self.size, tuple):
+            return self.size
+        return (self.size, self.size)
 
 
-def _bbox_to_window_h(x0, y0, w, h, S):
-    """Closed-form h_bbox2bbox((x0, y0, w, h) -> (0, 0, S, S)) on device
+def window_params_for_mask(mask, size=256, margin=0.5, min_px=160.0,
+                           max_aspect=2.5):
+    """WindowParams whose rectangular window matches the target's aspect:
+    pixel area ~= size^2, dims multiples of 8, isotropic crops."""
+    import numpy as np
+    ys, xs = np.where(np.asarray(mask))
+    w = xs.max() - xs.min() + 1.0
+    h = ys.max() - ys.min() + 1.0
+    aspect = float(np.clip(w / max(h, 1.0), 1.0 / max_aspect, max_aspect))
+    ww = int(np.clip(round(size * np.sqrt(aspect) / 8) * 8, 64, 4 * size))
+    wh = int(np.clip(round(size * size / ww / 8) * 8, 64, 4 * size))
+    return WindowParams(size=(wh, ww), margin=margin, min_px=min_px)
+
+
+def _bbox_to_window_h(x0, y0, w, h, shape):
+    """Closed-form h_bbox2bbox((x0, y0, w, h) -> (0, 0, Sw, Sh)) on device
     (ref:geom_utils.py:142-166)."""
-    sx = S / w
-    sy = S / h
+    Sh, Sw = shape
+    sx = Sw / w
+    sy = Sh / h
     z = jnp.zeros(())
     return jnp.stack([
         jnp.stack([sx, z, -sx * x0]),
@@ -55,7 +80,7 @@ def _bbox_to_window_h(x0, y0, w, h, S):
 def _search_crop_h(h_last_good, tmpl_corners, frame_hw, wp: WindowParams):
     """Device twin of the host search-bbox logic: project template corners
     through inv(h_last_good), pad, clamp, emit the crop homography."""
-    S = wp.size
+    shape = wp.shape
     inv = jnp.linalg.inv(h_last_good)
     ones = jnp.ones((4, 1), tmpl_corners.dtype)
     proj = jnp.concatenate([tmpl_corners, ones], axis=1) @ inv.T   # (4,3)
@@ -66,23 +91,54 @@ def _search_crop_h(h_last_good, tmpl_corners, frame_hw, wp: WindowParams):
     y_max = jnp.max(proj[:, 1])
     w = x_max - x_min + 1.0
     h = y_max - y_min + 1.0
+    H_img, W_img = frame_hw
+
+    # reference order (ref:WOFT_window.py:37-44): margins, intersect with
+    # the frame, then min-size
+    x_min = x_min - wp.margin * w
+    x_max = x_max + wp.margin * w
+    y_min = y_min - wp.margin * h
+    y_max = y_max + wp.margin * h
+    x_min_c = jnp.maximum(x_min, 0.0)
+    y_min_c = jnp.maximum(y_min, 0.0)
+    x_max_c = jnp.minimum(x_max, W_img - 1.0)
+    y_max_c = jnp.minimum(y_max, H_img - 1.0)
+    # keep the unclamped box when the intersection is degenerate (box fully
+    # off-frame); the `bad` fallback below then searches the whole frame
+    use = (x_max_c - x_min_c >= 8.0) & (y_max_c - y_min_c >= 8.0)
+    x_min = jnp.where(use, x_min_c, x_min)
+    x_max = jnp.where(use, x_max_c, x_max)
+    y_min = jnp.where(use, y_min_c, y_min)
+    y_max = jnp.where(use, y_max_c, y_max)
 
     # min-size rule (ref:Bbox.with_margins_min_size, geom_utils.py:106-119)
+    w = x_max - x_min + 1.0
+    h = y_max - y_min + 1.0
     missing = jnp.maximum(jnp.maximum(wp.min_px - w, 0.0) / (2.0 * w),
                           jnp.maximum(wp.min_px - h, 0.0) / (2.0 * h))
-    grow = missing + wp.margin
-    x_min = x_min - grow * w
-    x_max = x_max + grow * w
-    y_min = y_min - grow * h
-    y_max = y_max + grow * h
+    x_min = x_min - missing * w
+    x_max = x_max + missing * w
+    y_min = y_min - missing * h
+    y_max = y_max + missing * h
     if wp.square:
+        # grow to the window's aspect (isotropic bbox->window resample),
+        # then translate back into the frame where it fits
+        aspect = shape[1] / shape[0]
         cx = (x_min + x_max) / 2
         cy = (y_min + y_max) / 2
-        half = jnp.maximum(x_max - x_min, y_max - y_min) / 2
-        x_min, x_max = cx - half, cx + half
-        y_min, y_max = cy - half, cy + half
-
-    H_img, W_img = frame_hw
+        half_w = jnp.maximum(x_max - x_min,
+                             aspect * (y_max - y_min)) / 2
+        half_h = half_w / aspect
+        x_min, x_max = cx - half_w, cx + half_w
+        y_min, y_max = cy - half_h, cy + half_h
+        dx = (jnp.maximum(-x_min, 0.0)
+              - jnp.maximum(x_max - (W_img - 1.0), 0.0))
+        dy = (jnp.maximum(-y_min, 0.0)
+              - jnp.maximum(y_max - (H_img - 1.0), 0.0))
+        dx = jnp.where(2 * half_w > W_img, dx / 2, dx)
+        dy = jnp.where(2 * half_h > H_img, dy / 2, dy)
+        x_min, x_max = x_min + dx, x_max + dx
+        y_min, y_max = y_min + dy, y_max + dy
     # degenerate/escaped box -> search the whole frame
     bad = ((x_max - x_min < 8.0) | (y_max - y_min < 8.0)
            | (x_max < 0) | (y_max < 0)
@@ -93,7 +149,7 @@ def _search_crop_h(h_last_good, tmpl_corners, frame_hw, wp: WindowParams):
     x_max = jnp.where(bad, W_img - 1.0, x_max)
     y_max = jnp.where(bad, H_img - 1.0, y_max)
     return _bbox_to_window_h(x_min, y_min, x_max - x_min + 1.0,
-                             y_max - y_min + 1.0, S)
+                             y_max - y_min + 1.0, shape)
 
 
 def window_init_state(params, raft_cfg: RaftConfig, tp: TrackerParams,
@@ -104,7 +160,7 @@ def window_init_state(params, raft_cfg: RaftConfig, tp: TrackerParams,
     the (static) template crop homography is computed on host from the mask
     bbox and stored in the state as a device constant."""
     import numpy as np
-    S = wp.size
+    Sh, Sw = wp.shape
     mask_np = np.asarray(mask)
     ys, xs = np.where(mask_np)
     x0, x1 = float(xs.min()), float(xs.max())
@@ -115,23 +171,37 @@ def window_init_state(params, raft_cfg: RaftConfig, tp: TrackerParams,
     y0 -= wp.margin * h
     w *= 1 + 2 * wp.margin
     h *= 1 + 2 * wp.margin
+    # intersect with the frame (ref:WOFT_window.py:40): off-image content
+    # would waste window resolution
+    H_img, W_img = frame.shape[1:3]
+    x1, y1 = x0 + w, y0 + h
+    x0, y0 = max(x0, 0.0), max(y0, 0.0)
+    w = min(x1, W_img - 1.0) - x0
+    h = min(y1, H_img - 1.0) - y0
     if wp.square:
-        side = max(w, h)
-        x0 -= (side - w) / 2
-        y0 -= (side - h) / 2
-        w = h = side
-    h_tmpl_crop = np.array([[S / w, 0, -S / w * x0],
-                            [0, S / h, -S / h * y0],
+        aspect = Sw / Sh
+        nw = max(w, aspect * h)
+        nh = nw / aspect
+        x0 -= (nw - w) / 2
+        y0 -= (nh - h) / 2
+        w, h = nw, nh
+        # translate back into the frame where it fits
+        dx = max(-x0, 0.0) - max(x0 + w - (W_img - 1.0), 0.0)
+        dy = max(-y0, 0.0) - max(y0 + h - (H_img - 1.0), 0.0)
+        x0 += dx / 2 if w > W_img else dx
+        y0 += dy / 2 if h > H_img else dy
+    h_tmpl_crop = np.array([[Sw / w, 0, -Sw / w * x0],
+                            [0, Sh / h, -Sh / h * y0],
                             [0, 0, 1.0]], np.float32)
     tmpl_corners = np.array([[x0, y0], [x0 + w - 1, y0],
                              [x0 + w - 1, y0 + h - 1], [x0, y0 + h - 1]],
                             np.float32)
 
     tmpl_window = warp_perspective(frame, jnp.asarray(h_tmpl_crop),
-                                   out_shape=(S, S))
+                                   out_shape=(Sh, Sw))
     mask_window = warp_perspective(
         jnp.asarray(mask_np[None, :, :, None].astype(np.float32)),
-        jnp.asarray(h_tmpl_crop), out_shape=(S, S), mode="nearest")
+        jnp.asarray(h_tmpl_crop), out_shape=(Sh, Sw), mode="nearest")
     if encode:
         padder = make_padder(tp.padding_mode, tmpl_window.shape)
         (padded,) = padder.pad(tmpl_window)
@@ -159,7 +229,7 @@ def build_window_track_step(raft_cfg: RaftConfig, tp: TrackerParams,
                             wp: WindowParams, flow_fn=None):
     """(params, state, frame (1,H,W,3)) -> (state, H_cur2init, meta);
     fully jitted, scan-able."""
-    S = wp.size
+    Sh, Sw = wp.shape
 
     def run_flow(params, img1, img2, template_feats=None):
         padder = make_padder(tp.padding_mode, img2.shape)
@@ -184,7 +254,7 @@ def build_window_track_step(raft_cfg: RaftConfig, tp: TrackerParams,
 
     def step(params, state, frame):
         frame_hw = frame.shape[1:3]
-        hw = S * S
+        hw = Sh * Sw
         # pre-warp reset escalation (ref:YAOF:78-79)
         reset = state["n_lost"] > tp.no_prewarp_after_n
         h_last_good = jnp.where(reset, jnp.eye(3, dtype=jnp.float32),
@@ -192,7 +262,7 @@ def build_window_track_step(raft_cfg: RaftConfig, tp: TrackerParams,
 
         h_crop = _search_crop_h(h_last_good, state["tmpl_corners"],
                                 frame_hw, wp)
-        window = warp_perspective(frame, h_crop, out_shape=(S, S))
+        window = warp_perspective(frame, h_crop, out_shape=(Sh, Sw))
         # window-space prior: cur window -> template window
         h_crop_inv = jnp.linalg.inv(h_crop)
         h_prior = state["h_tmpl_crop"] @ (h_last_good @ h_crop_inv)
@@ -211,19 +281,19 @@ def build_window_track_step(raft_cfg: RaftConfig, tp: TrackerParams,
                                    state["tmpl_feats"])
 
         dst = (jnp.stack(
-            [(jnp.arange(hw) % S).astype(jnp.float32),
-             (jnp.arange(hw) // S).astype(jnp.float32)], -1)
+            [(jnp.arange(hw) % Sw).astype(jnp.float32),
+             (jnp.arange(hw) // Sw).astype(jnp.float32)], -1)
             + wflow.reshape(hw, 2))
         dst_int = jnp.round(dst).astype(jnp.int32)
         oob = (jnp.any(dst < 0, axis=-1)
-               | (dst_int[:, 0] >= S) | (dst_int[:, 1] >= S))
+               | (dst_int[:, 0] >= Sw) | (dst_int[:, 1] >= Sh))
         in_pw = ~oob
         if tp.use_pw_mask:
             # pre-warp + in-frame validity evaluated analytically AT the
             # dst points (no boolean-mask gather; see tracker/woft.py)
-            pts = jnp.stack([jnp.clip(dst_int[:, 0], 0, S - 1),
-                             jnp.clip(dst_int[:, 1], 0, S - 1)], -1)
-            in_pw &= warp_validity_at(h_prior, (S, S), pts)
+            pts = jnp.stack([jnp.clip(dst_int[:, 0], 0, Sw - 1),
+                             jnp.clip(dst_int[:, 1], 0, Sh - 1)], -1)
+            in_pw &= warp_validity_at(h_prior, (Sh, Sw), pts)
             in_pw &= warp_validity_at(h_prior @ h_crop, frame_hw, pts)
         valid = state["tmpl_mask_window"].reshape(hw) & in_pw
 
