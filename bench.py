@@ -104,8 +104,9 @@ def bench_full(jax, jnp, H, W, n_frames, precision):
     state = tracker_init_state(params, cfg, tp, template, jnp.asarray(mask))
     step = build_track_step(cfg, tp)
 
-    state, h, meta = step(params, state, frames[0])
-    _ = np.asarray(h)          # force compile + run
+    for f in frames[:3]:       # compile + flush post-compile slow paths
+        state, h, meta = step(params, state, f)
+    _ = np.asarray(h)
 
     t0 = time.perf_counter()
     for i in range(n_frames):
@@ -117,18 +118,20 @@ def bench_full(jax, jnp, H, W, n_frames, precision):
 def bench_window(jax, jnp, H, W, n_frames, precision, window):
     """Device-resident window step: zero per-frame host round trips."""
     from woft_tpu.tracker import TrackerParams
-    from woft_tpu.tracker.window_step import (WindowParams,
-                                              build_window_track_step,
-                                              window_init_state)
+    from woft_tpu.tracker.window_step import (build_window_track_step,
+                                              window_init_state,
+                                              window_params_for_mask)
 
     cfg = _make_cfg(jax, precision)
     params, redetect = _params_and_redetect(jax, cfg)
     tp = TrackerParams(padding_mode="nopad", redetection=redetect)
-    wp = WindowParams(size=window)
 
     rng = np.random.default_rng(0)
     mask = np.zeros((H, W), bool)
     mask[H // 3:2 * H // 3, W // 3:2 * W // 3] = True
+    # aspect-matched rectangular window (same pixel budget as window^2) —
+    # the accuracy-measured operating mode
+    wp = window_params_for_mask(mask, size=window)
 
     if redetect == "always":
         base = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)), jnp.float32)
@@ -141,7 +144,8 @@ def bench_window(jax, jnp, H, W, n_frames, precision, window):
     state = window_init_state(params, cfg, tp, wp, base, jnp.asarray(mask))
     step = build_window_track_step(cfg, tp, wp)
 
-    state, h, meta = step(params, state, frames[0])
+    for f in frames[:3]:       # compile + flush post-compile slow paths
+        state, h, meta = step(params, state, f)
     _ = np.asarray(h)
     t0 = time.perf_counter()
     for i in range(n_frames):
