@@ -86,7 +86,11 @@ def bench_full(jax, jnp, H, W, n_frames, precision):
 
     cfg = _make_cfg(jax, precision)
     params, redetect = _params_and_redetect(jax, cfg)
-    tp = TrackerParams(padding_mode="nopad", redetection=redetect)
+    # big-frame canonical redetection: host-dispatched fallback (the TPU
+    # runtime rejects two full-RAFT branches in one lax.cond >=~720p)
+    tp = TrackerParams(padding_mode="nopad", redetection=redetect,
+                       host_fallback=(redetect == "inliers"
+                                      and H * W >= 400_000))
 
     rng = np.random.default_rng(0)
     mask = np.zeros((H, W), bool)

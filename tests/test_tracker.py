@@ -148,6 +148,41 @@ def test_lost_counter_and_fallback(setup):
     assert np.allclose(np.asarray(meta["last_good_H2init"]), np.eye(3))
 
 
+def test_host_fallback_matches_cond(setup):
+    """host_fallback=True (separately-jitted fallback program, big-frame
+    mode) must produce the same H / state trajectory as the lax.cond
+    path, including on frames where the fallback fires."""
+    cfg, tp, template, mask = setup
+
+    def garbage_flow(params, img1, img2, template_feats=None):
+        hw = H_IMG * W_IMG
+        key_x = (jnp.arange(hw) % W_IMG).astype(jnp.float32)
+        flow = jnp.stack([jnp.sin(key_x * 12.9898) * 25.0,
+                          jnp.cos(key_x * 78.233) * 25.0], -1)
+        return (flow.reshape(1, H_IMG, W_IMG, 2),
+                jnp.ones((1, H_IMG, W_IMG, 1)))
+
+    results = {}
+    for host in (False, True):
+        tph = TrackerParams(padding_mode="nopad", host_fallback=host)
+        step = build_track_step(cfg, tph, flow_fn=garbage_flow)
+        state = tracker_init_state({}, cfg, tph,
+                                   jnp.asarray(template)[None],
+                                   jnp.asarray(mask), encode=False)
+        hs = []
+        for _ in range(3):
+            state, H, meta = step({}, state, jnp.asarray(template)[None])
+            assert bool(np.asarray(meta["lost"]))
+            hs.append(np.asarray(H))
+        results[host] = (np.stack(hs), np.asarray(state.prev_h2init),
+                         int(np.asarray(state.n_lost)))
+    np.testing.assert_allclose(results[True][0], results[False][0],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(results[True][1], results[False][1],
+                               rtol=1e-5, atol=1e-5)
+    assert results[True][2] == results[False][2] == 3
+
+
 def test_redetection_modes(setup):
     cfg, _, template, mask = setup
 

@@ -32,7 +32,8 @@ def get_config():
     import os
     env_ckpt = os.environ.get("WOFT_WRAFT_CKPT")
     candidates = ([Path(env_ckpt)] if env_ckpt else []) + \
-                 [weight_dir / "wraft_tpu_v3",
+                 [weight_dir / "wraft_tpu_v4",
+                  weight_dir / "wraft_tpu_v3",
                   weight_dir / "wraft_tpu_v2",
                   weight_dir / "wraft_tpu_v1",
                   weight_dir / "wraft_tpu_v0",

@@ -67,6 +67,13 @@ class TrackerParams:
     redetection: str = "inliers"    # 'inliers' | 'never' | 'always'
     use_pw_mask: bool = True        # mask TCs by the pre-warp validity region
     no_local_h: bool = False        # skip the local-flow fallback
+    host_fallback: bool = False     # dispatch the local-flow fallback as a
+                                    # separately-jitted program from the
+                                    # host (reference behavior, YAOF:171) —
+                                    # the TPU runtime rejects two full-RAFT
+                                    # branches inside one lax.cond at
+                                    # >=720p frame sizes (InvalidArgument);
+                                    # window-sized cond graphs are fine
     downscale: int = 0              # host-side input downscale factor
     padding_mode: str = "nopad"
     sparse_weights: bool = True     # evaluate the weight head + convex
@@ -307,6 +314,30 @@ def build_track_step(raft_cfg: RaftConfig, tp: TrackerParams, flow_fn=None):
             return res[0], res[1], None
         return res
 
+    def local_h(params, prev_img, frame, prev_h2init, template_mask):
+        """Local fallback: prev -> current flow chained onto prev_h2init
+        (ref:YAOF:171-207). Dense path always — the sparse weight-head
+        graph is rejected by the TPU runtime inside lax.cond, and the
+        fallback never runs at steady state (logits identical either way,
+        tests/test_tracker.py sparse==dense)."""
+        hw = frame.shape[1] * frame.shape[2]
+        prev_mask = warp_perspective(
+            template_mask[None, :, :, None].astype(jnp.float32),
+            jnp.linalg.inv(prev_h2init), mode="nearest")
+        lvalid = prev_mask.reshape(hw) > 0
+        lflow, lweights, lvis = run_flow(params, prev_img, frame)
+        if lvis is not None:
+            lvalid &= lvis.reshape(hw) > 0.5
+        lsrc, ldst, lw, lsel, _ = _select_tcs(lflow, lweights, lvalid,
+                                              tp.subsample_n)
+        H_flow = _estimate_h(tp, ldst, lsrc, lw, lsel)[0]  # cur -> prev
+        # H_flow applies first (cur->prev), then prev_h2init (prev->init)
+        # (ref:YAOF:201 compose_H(H_flow, self.prev_H2init))
+        H_local = compose_h(H_flow, prev_h2init)
+        # solver-failure guard (ref:YAOF:202-204)
+        return jnp.where(jnp.all(jnp.isfinite(H_local)), H_local,
+                         prev_h2init)
+
     def step(params, state: TrackerState, frame):
         H_img, W_img = frame.shape[1:3]
         hw = H_img * W_img
@@ -368,33 +399,13 @@ def build_track_step(raft_cfg: RaftConfig, tp: TrackerParams, flow_fn=None):
         # local fallback: prev -> current flow chained onto prev_H2init
         # (ref:YAOF:171-207); lax.cond executes only the taken branch.
         def local_branch(_):
-            prev_mask = warp_perspective(
-                state.template_mask[None, :, :, None].astype(jnp.float32),
-                jnp.linalg.inv(state.prev_h2init), mode="nearest")
-            lvalid = prev_mask.reshape(hw) > 0
-            if sparse_ok:
-                lfo = weighted_raft_forward(params, raft_cfg,
-                                            state.prev_img, frame,
-                                            sparse_weight_head=True)
-                lflow = lfo["flow_up"]
-                lsrc, ldst, lw, lsel = _select_tcs_sparse(
-                    lflow, lfo, lvalid, tp.subsample_n)
-            else:
-                lflow, lweights, lvis = run_flow(params, state.prev_img,
-                                                 frame)
-                if lvis is not None:
-                    lvalid &= lvis.reshape(hw) > 0.5
-                lsrc, ldst, lw, lsel, _ = _select_tcs(lflow, lweights,
-                                                      lvalid, tp.subsample_n)
-            H_flow = _estimate_h(tp, ldst, lsrc, lw, lsel)[0]  # cur -> prev
-            # H_flow applies first (cur->prev), then prev_h2init (prev->init)
-            # (ref:YAOF:201 compose_H(H_flow, self.prev_H2init))
-            H_local = compose_h(H_flow, state.prev_h2init)
-            # solver-failure guard (ref:YAOF:202-204)
-            return jnp.where(jnp.all(jnp.isfinite(H_local)), H_local,
-                             state.prev_h2init)
+            return local_h(params, state.prev_img, frame,
+                           state.prev_h2init, state.template_mask)
 
-        if tp.no_local_h:
+        if tp.no_local_h or tp.host_fallback:
+            # host_fallback: the wrapper below patches in the local H when
+            # the check fails (separately-jitted program, reference
+            # behavior)
             H_cur2init = H_global
         else:
             H_cur2init = jax.lax.cond(ok, lambda _: H_global, local_branch,
@@ -421,6 +432,34 @@ def build_track_step(raft_cfg: RaftConfig, tp: TrackerParams, flow_fn=None):
             "N_lost": n_lost,
         }
         return new_state, H_cur2init, meta
+
+    if tp.host_fallback and not tp.no_local_h:
+        import numpy as np
+
+        # no state donation: the fallback program re-reads the pre-step
+        # state (prev_img, prev_h2init) after the main program ran
+        main = jax.jit(step)
+        local = jax.jit(local_h)
+
+        def host_step(params, state, frame):
+            new_state, H_global, meta = main(params, state, frame)
+            if not bool(np.asarray(meta["global_H_success"])):
+                hl = local(params, state.prev_img, frame,
+                           state.prev_h2init, state.template_mask)
+                meta = dict(meta, H_local_cur2init=hl)
+                new_state = TrackerState(
+                    template_img=new_state.template_img,
+                    template_feats=new_state.template_feats,
+                    template_mask=new_state.template_mask,
+                    prev_img=new_state.prev_img,
+                    prev_h2init=hl,
+                    last_good_h2init=new_state.last_good_h2init,
+                    lost=new_state.lost,
+                    n_lost=new_state.n_lost)
+                return new_state, hl, meta
+            return new_state, H_global, meta
+
+        return host_step
 
     return jax.jit(step, donate_argnums=(1,))
 
@@ -505,6 +544,19 @@ class WOFTTracker:
             mask = cv2.resize(mask, None, fx=1 / self.tp.downscale,
                               fy=1 / self.tp.downscale)
         img_small, device_img = self._prep(img)
+        # big frames: dispatch the local fallback from the host — the TPU
+        # runtime rejects two full-RAFT branches in one lax.cond >=~720p
+        if (not self.tp.no_local_h and not self.tp.host_fallback
+                and self.tp.redetection == "inliers"
+                and img_small.shape[0] * img_small.shape[1] >= 400_000):
+            from dataclasses import replace
+            self.tp = replace(self.tp, host_fallback=True)
+            if self._external:
+                self._step = build_track_step(
+                    RaftConfig(), self.tp,
+                    flow_fn=self.flower.make_flow_fn())
+            else:
+                self._step = build_track_step(self.flower.cfg, self.tp)
         self.np_template_img = np.ascontiguousarray(img_small)   # BGR host
         self.np_prev_img = self.np_template_img
         self.np_template_mask = np.asarray(mask)
