@@ -67,7 +67,10 @@ def _video_frames(jnp, H, W, n=6):
     import cv2
     rng = np.random.default_rng(0)
     base = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
-    base = cv2.GaussianBlur(base, (0, 0), 3.0) * 4.0 + 96.0
+    blurred = cv2.GaussianBlur(base, (0, 0), 3.0)
+    # recenter after contrast expansion so pixels stay in-distribution
+    # [0, 255] for the trained checkpoint's normalisation
+    base = np.clip((blurred - blurred.mean()) * 4.0 + 127.5, 0.0, 255.0)
     frames = [jnp.asarray(base)[None]]
     for i in range(1, n):
         t = 3.0 * i
@@ -78,6 +81,27 @@ def _video_frames(jnp, H, W, n=6):
         f = cv2.warpPerspective(base, Hm, (W, H), flags=cv2.INTER_LINEAR)
         frames.append(jnp.asarray(f)[None])
     return frames
+
+
+# v5e single-chip peak: 197 TFLOP/s bf16 MXU. MFU is quoted against bf16
+# peak (the bench's default precision); f32 runs are still quoted against
+# the same peak, so their MFU reads conservatively low.
+PEAK_FLOPS = 1.97e14
+
+
+def _flops_per_frame(step, *args):
+    """Per-frame FLOPs of the compiled step via XLA cost analysis.
+
+    Returns None when unavailable (e.g. backend without cost analysis)."""
+    try:
+        lower = getattr(step, "main", step).lower
+        ca = lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
 
 
 def bench_full(jax, jnp, H, W, n_frames, precision):
@@ -112,11 +136,12 @@ def bench_full(jax, jnp, H, W, n_frames, precision):
         state, h, meta = step(params, state, f)
     _ = np.asarray(h)
 
+    flops = _flops_per_frame(step, params, state, frames[0])
     t0 = time.perf_counter()
     for i in range(n_frames):
         state, h, meta = step(params, state, frames[i % len(frames)])
     _ = np.asarray(h)          # steps chain through state: forces all
-    return n_frames / (time.perf_counter() - t0)
+    return n_frames / (time.perf_counter() - t0), flops
 
 
 def bench_window(jax, jnp, H, W, n_frames, precision, window):
@@ -151,11 +176,12 @@ def bench_window(jax, jnp, H, W, n_frames, precision, window):
     for f in frames[:3]:       # compile + flush post-compile slow paths
         state, h, meta = step(params, state, f)
     _ = np.asarray(h)
+    flops = _flops_per_frame(step, params, state, frames[0])
     t0 = time.perf_counter()
     for i in range(n_frames):
         state, h, meta = step(params, state, frames[i % len(frames)])
     _ = np.asarray(h)
-    return n_frames / (time.perf_counter() - t0)
+    return n_frames / (time.perf_counter() - t0), flops
 
 
 def bench_multi(jax, jnp, H, W, n_frames, precision, window, n_targets=8):
@@ -192,11 +218,12 @@ def bench_multi(jax, jnp, H, W, n_frames, precision, window, n_targets=8):
               for _ in range(4)]
     batched, hs, meta = step(params, batched, frames[0])
     _ = np.asarray(hs)
+    flops = _flops_per_frame(step, params, batched, frames[0])
     t0 = time.perf_counter()
     for i in range(n_frames):
         batched, hs, meta = step(params, batched, frames[i % len(frames)])
     _ = np.asarray(hs)
-    return n_frames / (time.perf_counter() - t0)
+    return n_frames / (time.perf_counter() - t0), flops
 
 
 def main():
@@ -219,26 +246,31 @@ def main():
     redetect = os.environ.get("WOFT_BENCH_REDETECT", "always")
     suffix = "" if redetect == "always" else f", redetect={redetect}"
     if mode == "window":
-        fps = bench_window(jax, jnp, H, W, n_frames, precision, window)
+        fps, flops = bench_window(jax, jnp, H, W, n_frames, precision,
+                                  window)
         label = (f"tracked {H}x{W} frames/sec/chip (window-{window} "
                  f"WeightedRAFT-12 + wLSq fit, {precision}{suffix})")
     elif mode == "multi":
         n_targets = int(os.environ.get("WOFT_BENCH_TARGETS", 8))
-        fps = bench_multi(jax, jnp, H, W, n_frames, precision, window,
-                          n_targets)
+        fps, flops = bench_multi(jax, jnp, H, W, n_frames, precision,
+                                 window, n_targets)
         label = (f"tracked {H}x{W} frames/sec/chip x{n_targets} targets "
                  f"(window-{window} WeightedRAFT-12, {precision})")
     else:
-        fps = bench_full(jax, jnp, H, W, n_frames, precision)
+        fps, flops = bench_full(jax, jnp, H, W, n_frames, precision)
         label = (f"tracked {H}x{W} frames/sec/chip (full-frame "
                  f"WeightedRAFT-12 + wLSq fit, {precision}{suffix})")
 
-    print(json.dumps({
+    row = {
         "metric": label,
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
-    }))
+    }
+    if flops is not None:
+        row["tflop_per_frame"] = round(flops / 1e12, 3)
+        row["mfu_pct"] = round(100.0 * flops * fps / PEAK_FLOPS, 2)
+    print(json.dumps(row))
     return 0
 
 

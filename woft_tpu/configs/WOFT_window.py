@@ -21,8 +21,10 @@ def get_config():
         Path(__file__).resolve().parent / "flow" / "wraft_large.py")
     conf.flow_config.weights_postprocessing_fn = None
 
-    import os
-    conf.window_size = int(os.environ.get("WOFT_WINDOW_SIZE", 256))
+    # deterministic named config: window-size overrides go through
+    # bench.py's WOFT_BENCH_WINDOW knob or an explicit config variant
+    # (WOFT_window_384.py), never the environment
+    conf.window_size = 256
     conf.window_margin = 0.5
     conf.min_window_px = 160
 

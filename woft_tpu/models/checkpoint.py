@@ -7,9 +7,12 @@ round-trip export to the torch layout via models.convert for
 interoperability.
 """
 
+import logging
 import os
 
 import jax
+
+logger = logging.getLogger(__name__)
 
 
 def save_checkpoint(path, params, *, force=True):
@@ -37,7 +40,13 @@ def load_checkpoint(path, like=None):
     if like is None:
         try:
             like = ckptr.metadata(path).item_metadata
-        except Exception:        # older layout without readable metadata
+        except (FileNotFoundError, KeyError, ValueError, TypeError):
+            # older layout without readable metadata — the sharding-less
+            # restore only works when saved and current devices match
+            logger.warning(
+                "checkpoint %s has no readable metadata; falling back to a "
+                "sharding-less restore (cross-device restores may fail)",
+                path)
             return ckptr.restore(path)
     abstract = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding),

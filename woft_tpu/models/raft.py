@@ -399,6 +399,15 @@ def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
             out_dtype=vol_dtype, precision=cfg.lax_precision)
 
         if cfg.corr_impl == "pallas":
+            if jax.default_backend() == "tpu":
+                # the fused lookup kernel's dynamic lane roll is rejected
+                # by Mosaic when compiled (interpret-mode/CPU only); fail
+                # fast instead of surfacing an opaque Mosaic error
+                raise NotImplementedError(
+                    "corr_impl='pallas' (fused lookup kernel) does not "
+                    "compile on TPU yet — use corr_impl='local' (compiled "
+                    "Pallas block-local volume, the TPU production path) "
+                    "or 'onehot' (exact MXU path).")
             from ..ops.pallas.corr_lookup import fused_corr_lookup
 
             def lookup(coords):

@@ -402,11 +402,17 @@ def build_track_step(raft_cfg: RaftConfig, tp: TrackerParams, flow_fn=None):
             return local_h(params, state.prev_img, frame,
                            state.prev_h2init, state.template_mask)
 
-        if tp.no_local_h or tp.host_fallback:
+        if tp.no_local_h or tp.host_fallback or tp.redetection == "always":
             # host_fallback: the wrapper below patches in the local H when
             # the check fails (separately-jitted program, reference
-            # behavior)
+            # behavior). redetection='always': ok is constant True, so the
+            # cond is folded away at trace time — big-frame trackers must
+            # never carry two full-RAFT branches in one lax.cond (the TPU
+            # runtime rejects them >=~720p, see TrackerParams.host_fallback)
             H_cur2init = H_global
+        elif tp.redetection == "never":
+            # constant False: always the local branch, no cond emitted
+            H_cur2init = local_branch(None)
         else:
             H_cur2init = jax.lax.cond(ok, lambda _: H_global, local_branch,
                                       operand=None)
@@ -459,6 +465,7 @@ def build_track_step(raft_cfg: RaftConfig, tp: TrackerParams, flow_fn=None):
                 return new_state, hl, meta
             return new_state, H_global, meta
 
+        host_step.main = main       # expose the jitted main program
         return host_step
 
     return jax.jit(step, donate_argnums=(1,))
