@@ -43,6 +43,8 @@ def _make_cfg(jax, precision):
     impl = os.environ.get("WOFT_BENCH_CORR")
     if impl:
         kw["corr_impl"] = impl
+    if os.environ.get("WOFT_BENCH_ALT"):        # on-the-fly windowed corr:
+        kw["alternate_corr"] = True             # no materialized volume (4K+)
     return RaftConfig(variant="weighted", iters=12, precision=precision,
                       **kw)
 
@@ -54,10 +56,14 @@ def _params_and_redetect(jax, cfg):
     from woft_tpu.models.raft import init_raft_params
     redetect = os.environ.get("WOFT_BENCH_REDETECT", "always")
     params = init_raft_params(jax.random.PRNGKey(0), cfg)
-    if redetect != "always":
+    # an explicit WOFT_BENCH_CKPT loads trained weights in every mode (sane
+    # fitted H -> the pre-warp kernel's pose envelope holds, as in real
+    # tracking); redetect modes need them for the inlier check to pass
+    ckpt = os.environ.get("WOFT_BENCH_CKPT")
+    if redetect != "always" or ckpt:
         from woft_tpu.models.checkpoint import load_checkpoint
-        ckpt = os.environ.get("WOFT_BENCH_CKPT", "weights/wraft_tpu_v2")
-        params = load_checkpoint(ckpt, like=params)
+        params = load_checkpoint(ckpt or "weights/wraft_tpu_v2",
+                                 like=params)
     return params, redetect
 
 
@@ -120,7 +126,7 @@ def bench_full(jax, jnp, H, W, n_frames, precision):
     mask = np.zeros((H, W), bool)
     mask[H // 4:3 * H // 4, W // 4:3 * W // 4] = True
 
-    if redetect == "always":
+    if redetect == "always" and not os.environ.get("WOFT_BENCH_CKPT"):
         template = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)),
                                jnp.float32)
         frames = [jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)),
@@ -162,7 +168,7 @@ def bench_window(jax, jnp, H, W, n_frames, precision, window):
     # the accuracy-measured operating mode
     wp = window_params_for_mask(mask, size=window)
 
-    if redetect == "always":
+    if redetect == "always" and not os.environ.get("WOFT_BENCH_CKPT"):
         base = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)), jnp.float32)
         frames = [jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)),
                               jnp.float32) for _ in range(4)]

@@ -68,6 +68,21 @@ def install_kornia_stub():
     epipolar = types.ModuleType("kornia.geometry.epipolar")
     conversions = types.ModuleType("kornia.geometry.conversions")
     homography = types.ModuleType("kornia.geometry.homography")
+    def convert_points_to_homogeneous(points):
+        # kornia twin: append a ones coordinate on the last axis
+        return torch.cat(
+            [points, torch.ones_like(points[..., :1])], dim=-1)
+
+    def convert_points_from_homogeneous(points, eps=1e-8):
+        # kornia twin: perspective divide with its |z|>eps guard
+        z = points[..., -1:]
+        mask = torch.abs(z) > eps
+        scale = torch.where(mask, 1.0 / (z + eps), torch.ones_like(z))
+        return scale * points[..., :-1]
+
+    conversions.convert_points_to_homogeneous = convert_points_to_homogeneous
+    conversions.convert_points_from_homogeneous = (
+        convert_points_from_homogeneous)
     epipolar.normalize_points = normalize_points
     geometry.epipolar = epipolar
     geometry.conversions = conversions
@@ -134,7 +149,7 @@ def rect_mask(shape, bbox):
     return mask
 
 
-def run_ours(frames, mask, downscale, ckpt):
+def run_ours(frames, mask, downscale, ckpt, no_subsample=False):
     import os
     if ckpt:
         os.environ["WOFT_WRAFT_CKPT"] = str(ckpt)
@@ -142,6 +157,17 @@ def run_ours(frames, mask, downscale, ckpt):
     conf = load_config(REPO / "woft_tpu" / "configs" / "WOFT.py")
     if downscale > 1:
         conf.downscale_inputs = downscale
+    if no_subsample:
+        # fit on ALL valid TCs: removes the Sobol selection-set chaos so
+        # the head-to-head measures the systematic difference only
+        from woft_tpu.tracker.woft import TrackerParams
+        n_pts = int((np.asarray(mask) > 0).sum())
+        if downscale > 1:
+            n_pts = n_pts // (downscale * downscale) + 4 * downscale
+        # sparse_weights assumes ~500 solver points; at tens of thousands
+        # its per-point window lookups blow memory — use the dense head
+        conf.tracker_params = TrackerParams(subsample_n=n_pts,
+                                            sparse_weights=False)
     tracker = conf.tracker_class(conf)
     tracker.init(frames[0], mask)
     hs = []
@@ -151,7 +177,7 @@ def run_ours(frames, mask, downscale, ckpt):
     return hs, tracker.flower.params
 
 
-def run_reference(frames, mask, downscale, pth_path):
+def run_reference(frames, mask, downscale, pth_path, no_subsample=False):
     install_kornia_stub()
     install_cpu_shim()
     sys.path.insert(0, str(REFERENCE))
@@ -164,6 +190,8 @@ def run_reference(frames, mask, downscale, pth_path):
     conf.flow_config.non_strict_loading = True
     if downscale > 1:
         conf.downscale_inputs = downscale
+    if no_subsample:
+        conf.subsampler_fn = None      # falsy -> reference skips subsample
     tracker = conf.tracker_class(conf)
     tracker.device = "cpu"
 
@@ -210,6 +238,15 @@ def main():
                     help="native orbax checkpoint dir (default: the flow "
                          "config's preferred checkpoint)")
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--no-subsample", action="store_true",
+                    help="fit on all valid TCs (both sides): measures the "
+                         "systematic disagreement without Sobol "
+                         "selection-set chaos")
+    ap.add_argument("--self-test", action="store_true",
+                    help="measure the REFERENCE tracker's own sensitivity "
+                         "floor: reference vs reference on +-1-LSB "
+                         "perturbed frames (chaos baseline for the "
+                         "head-to-head numbers)")
     args = ap.parse_args()
 
     frames, names = load_frames(args.seq, args.frames)
@@ -223,12 +260,39 @@ def main():
     print(f"[headtohead] {len(frames)} frames from {args.seq}, "
           f"bbox={bbox}, downscale={args.downscale}", flush=True)
 
-    hs_ours, params = run_ours(frames, mask, args.downscale, args.ckpt)
-    from woft_tpu.models.checkpoint import export_torch_pth
-    pth = export_torch_pth("/tmp/wraft_headtohead.pth", params)
-    print("[headtohead] ours done; running the reference tracker "
-          "(torch, CPU-shimmed)", flush=True)
-    hs_ref = run_reference(frames, mask, args.downscale, pth)
+    if args.self_test:
+        # chaos floor: the reference against itself under a 1-LSB input
+        # perturbation — any ours-vs-reference disagreement at or below
+        # this level is indistinguishable from the reference's own
+        # numerical sensitivity
+        import os
+        if args.ckpt:
+            os.environ["WOFT_WRAFT_CKPT"] = str(args.ckpt)
+        from woft_tpu.config import load_config
+        conf = load_config(REPO / "woft_tpu" / "configs" / "WOFT.py")
+        from woft_tpu.flow.wrapper import RaftFlow
+        flower = RaftFlow(conf.flow_config)
+        from woft_tpu.models.checkpoint import export_torch_pth
+        pth = export_torch_pth("/tmp/wraft_headtohead.pth", flower.params)
+        rng = np.random.default_rng(7)
+        noisy = [np.clip(f.astype(np.int16)
+                         + rng.integers(-1, 2, f.shape, dtype=np.int16),
+                         0, 255).astype(np.uint8) for f in frames]
+        hs_ours = run_reference(frames, mask, args.downscale, pth,
+                                args.no_subsample)
+        print("[headtohead] clean reference done; running perturbed",
+              flush=True)
+        hs_ref = run_reference(noisy, mask, args.downscale, pth,
+                               args.no_subsample)
+    else:
+        hs_ours, params = run_ours(frames, mask, args.downscale, args.ckpt,
+                                   args.no_subsample)
+        from woft_tpu.models.checkpoint import export_torch_pth
+        pth = export_torch_pth("/tmp/wraft_headtohead.pth", params)
+        print("[headtohead] ours done; running the reference tracker "
+              "(torch, CPU-shimmed)", flush=True)
+        hs_ref = run_reference(frames, mask, args.downscale, pth,
+                               args.no_subsample)
 
     dists = [corner_disagreement(a, b, bbox)
              for a, b in zip(hs_ours, hs_ref)]

@@ -288,8 +288,86 @@ def bench_upsample():
     timed_loop("convex upsample flow 1080p", body, (flow, mask))
 
 
+def bench_pallas_warp():
+    from woft_tpu.ops.warp import warp_perspective_fast
+    rng = rngs()
+    img = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)), jnp.float32)
+    Hm = jnp.asarray(np.array([[1.01, 0.01, 5.0], [0.0, 0.99, -3.0],
+                               [1e-5, 0, 1.0]]), jnp.float32)
+
+    def body(c):
+        img, Hm = c
+        out = warp_perspective_fast(img, Hm, use_pallas=True)
+        return (dep(img, out.mean()), Hm)
+
+    timed_loop("pallas block warp 1080p x3ch", body, (img, Hm))
+
+
+def bench_local_lookup():
+    from woft_tpu.models.corr import build_local_corr, corr_lookup_local
+    f1, f2 = _fmaps()
+    vol = build_local_corr(f1, f2, out_dtype=jnp.bfloat16)
+    coords = _coords() * 8.0          # level-0 full-res-ish centroids
+
+    def body(c):
+        out = corr_lookup_local(vol, c, 4)
+        return dep(c, out.mean())
+
+    timed_loop("lookup local (block volumes)", body, coords, n=4)
+
+    def body_build(c):
+        f1, f2 = c
+        v = build_local_corr(f1, f2, out_dtype=jnp.bfloat16)
+        s = sum(p.astype(jnp.float32).mean() for p in v.volumes)
+        return (dep(f1, s), f2)
+
+    timed_loop("build_local_corr (pallas)", body_build, (f1, f2), n=4)
+
+
+def bench_update_parts():
+    from woft_tpu.models.raft import (RaftConfig, init_raft_params,
+                                      _basic_motion_encoder, _sep_conv_gru,
+                                      _flow_head)
+    from woft_tpu.models import layers
+    cfg = RaftConfig(variant="weighted", precision="bf16")
+    params = init_raft_params(jax.random.PRNGKey(0), cfg)
+    up = params["update_block"]
+    rng = rngs()
+    net = jnp.asarray(rng.standard_normal((1, H1, W1, 128)), jnp.float32)
+    inp = jnp.asarray(rng.standard_normal((1, H1, W1, 128)), jnp.float32)
+    corr = jnp.asarray(rng.standard_normal((1, H1, W1, 324)), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((1, H1, W1, 2)), jnp.float32)
+    motion = jnp.asarray(rng.standard_normal((1, H1, W1, 128)), jnp.float32)
+
+    layers.set_precision(cfg.lax_precision, cfg.compute_dtype)
+
+    def body_me(c):
+        m = _basic_motion_encoder(up["encoder"], c[1], corr)
+        return (dep(c[0], m.mean()), c[1])
+
+    timed_loop("  motion encoder only", body_me, (net, flow))
+
+    def body_gru(c):
+        n = _sep_conv_gru(up["gru"], c[0], jnp.concatenate([inp, c[1]], -1))
+        return (n, c[1])
+
+    timed_loop("  SepConvGRU only", body_gru, (net, motion))
+
+    def body_heads(c):
+        d = _flow_head(up["flow_head"], c[0])
+        m = 0.25 * layers.conv2d(up["mask"]["2"],
+                                 layers.relu(layers.conv2d(
+                                     up["mask"]["0"], c[0], padding=1)))
+        return (dep(c[0], d.mean() + m.mean()), c[1])
+
+    timed_loop("  flow+mask heads only", body_heads, (net, motion))
+
+
 ALL = {
     "warp": bench_warp,
+    "pallas_warp": bench_pallas_warp,
+    "local_lookup": bench_local_lookup,
+    "update_parts": bench_update_parts,
     "volume": bench_volume,
     "volume_fused": bench_volume_fused,
     "lookups": bench_lookups,

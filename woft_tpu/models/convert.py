@@ -43,14 +43,34 @@ def torch_statedict_to_params(state_dict):
 
 
 def params_to_torch_statedict(params):
-    """Inverse conversion (for checkpoint export / round-trip tests)."""
+    """Inverse conversion (for checkpoint export / round-trip tests).
+
+    The reference encoder registers its downsample-shortcut norm twice —
+    as ``downsample.1`` AND as ``norm3`` (residual blocks) / ``norm4``
+    (bottleneck blocks), the same module object
+    (ref:raft_core/extractor.py:40-45,103-105) — so its state_dicts carry
+    both key families with identical tensors. Emit the aliases too, so an
+    exported checkpoint strict-loads into the torch model."""
     flat = {}
 
     def walk(node, prefix):
+        if "running_mean" in node:
+            # BatchNorm: re-emit the integer step counter the import
+            # dropped, so strict torch loads see a complete module
+            flat[f"{prefix}.num_batches_tracked" if prefix
+                 else "num_batches_tracked"] = np.asarray(0, np.int64)
         for key, value in node.items():
             path = f"{prefix}.{key}" if prefix else key
             if isinstance(value, dict):
                 walk(value, path)
+                if key == "downsample" and "1" in value:
+                    alias = "norm4" if "conv3" in node else "norm3"
+                    apre = f"{prefix}.{alias}" if prefix else alias
+                    if value["1"]:
+                        flat[f"{apre}.num_batches_tracked"] = np.asarray(
+                            0, np.int64)
+                    for p, v in value["1"].items():
+                        flat[f"{apre}.{p}"] = np.asarray(v)
             else:
                 arr = np.asarray(value)
                 if key == "weight" and arr.ndim == 4:

@@ -178,8 +178,17 @@ def _small_motion_encoder(p, flow, corr):
 
 def _gru_gates(pz, pr, pq, h, x, pad):
     hx = jnp.concatenate([h, x], -1)
-    z = jax.nn.sigmoid(layers.conv2d(pz, hx, padding=pad))
-    r = jax.nn.sigmoid(layers.conv2d(pr, hx, padding=pad))
+    # z and r read the same input: run them as ONE conv with concatenated
+    # output channels (numerically identical per-channel — each output
+    # channel is an independent reduction; halves the GRU's kernel count
+    # and doubles the matmul N for better MXU tiling)
+    zr = layers.conv2d(
+        {"weight": jnp.concatenate([pz["weight"], pr["weight"]], axis=-1),
+         "bias": jnp.concatenate([pz["bias"], pr["bias"]], axis=-1)},
+        hx, padding=pad)
+    C = pz["weight"].shape[-1]
+    z = jax.nn.sigmoid(zr[..., :C])
+    r = jax.nn.sigmoid(zr[..., C:])
     q = jnp.tanh(layers.conv2d(pq, jnp.concatenate([r * h, x], -1),
                                padding=pad))
     return (1 - z) * h + z * q
@@ -206,10 +215,19 @@ def update_block_apply(p, net, inp, corr, flow, small=False):
         return net, None, delta
     motion = _basic_motion_encoder(p["encoder"], flow, corr)
     net = _sep_conv_gru(p["gru"], net, jnp.concatenate([inp, motion], -1))
-    delta = _flow_head(p["flow_head"], net)
-    mask = 0.25 * layers.conv2d(p["mask"]["2"],
-                                layers.relu(layers.conv2d(p["mask"]["0"], net,
-                                                          padding=1)))
+    # the flow head's conv1 and the mask head's conv 0 both read ``net``:
+    # one fused 3x3 128->512 conv (exact, see _gru_gates note)
+    fh, mh = p["flow_head"], p["mask"]
+    c1 = layers.conv2d(
+        {"weight": jnp.concatenate([fh["conv1"]["weight"],
+                                    mh["0"]["weight"]], axis=-1),
+         "bias": jnp.concatenate([fh["conv1"]["bias"],
+                                  mh["0"]["bias"]], axis=-1)},
+        net, padding=1)
+    Cf = fh["conv1"]["weight"].shape[-1]
+    delta = layers.conv2d(fh["conv2"], layers.relu(c1[..., :Cf]),
+                          padding=1)
+    mask = 0.25 * layers.conv2d(mh["2"], layers.relu(c1[..., Cf:]))
     return net, mask, delta
 
 

@@ -119,6 +119,28 @@ def grid_sample(img, coords, mode="bilinear"):
 bilinear_sample = grid_sample
 
 
+def perspective_coords(H, out_hw):
+    """Back-projected source sample coordinates of a perspective warp.
+
+    H: (N, 3, 3) forward homography (src -> dst); returns
+    (N, out_h, out_w, 2) f32 (x, y) source positions of each destination
+    pixel center (the coordinates ``warp_perspective`` samples at)."""
+    out_h, out_w = out_hw
+    Hinv = jnp.linalg.inv(H.astype(jnp.float32))                  # (N,3,3)
+    ys, xs = jnp.meshgrid(jnp.arange(out_h, dtype=jnp.float32),
+                          jnp.arange(out_w, dtype=jnp.float32),
+                          indexing="ij")
+    ones = jnp.ones_like(xs)
+    dst = jnp.stack([xs, ys, ones], axis=-1).reshape(-1, 3)       # (HW,3)
+    # coordinates must be exact fp32: never let this einsum drop to bf16
+    src = jnp.einsum('nij,pj->npi', Hinv, dst,
+                     precision=jax.lax.Precision.HIGHEST)         # (N,HW,3)
+    z = src[..., 2:3]
+    src_xy = src[..., :2] / jnp.where(jnp.abs(z) < 1e-12,
+                                      jnp.where(z < 0, -1e-12, 1e-12), z)
+    return src_xy.reshape(H.shape[0], out_h, out_w, 2)
+
+
 def warp_perspective(img, H, out_shape=None, mode="bilinear"):
     """``cv2.warpPerspective`` twin: dst(x, y) = src(H^-1 (x, y)).
 
@@ -135,22 +157,8 @@ def warp_perspective(img, H, out_shape=None, mode="bilinear"):
     """
     if H.ndim == 2:
         H = H[None]
-    N = img.shape[0]
     out_h, out_w = out_shape if out_shape is not None else img.shape[1:3]
-
-    Hinv = jnp.linalg.inv(H.astype(jnp.float32))                  # (N,3,3)
-    ys, xs = jnp.meshgrid(jnp.arange(out_h, dtype=jnp.float32),
-                          jnp.arange(out_w, dtype=jnp.float32),
-                          indexing="ij")
-    ones = jnp.ones_like(xs)
-    dst = jnp.stack([xs, ys, ones], axis=-1).reshape(-1, 3)       # (HW,3)
-    # coordinates must be exact fp32: never let this einsum drop to bf16
-    src = jnp.einsum('nij,pj->npi', Hinv, dst,
-                     precision=jax.lax.Precision.HIGHEST)         # (N,HW,3)
-    z = src[..., 2:3]
-    src_xy = src[..., :2] / jnp.where(jnp.abs(z) < 1e-12,
-                                      jnp.where(z < 0, -1e-12, 1e-12), z)
-    coords = src_xy.reshape(N, out_h, out_w, 2)
+    coords = perspective_coords(H, (out_h, out_w))
 
     if mode == "nearest":
         # cv2 INTER_NEAREST truncates via fixed-point floor(x + 0.5)
@@ -163,6 +171,47 @@ def warp_perspective(img, H, out_shape=None, mode="bilinear"):
                            jnp.clip(ix, 0, img.shape[2] - 1))
         return out * valid[..., None].astype(img.dtype)
     return grid_sample(img, coords, mode="bilinear")
+
+
+def warp_perspective_fast(img, H, out_shape=None, use_pallas=None,
+                          ph=48, pw=384, interpret=False,
+                          precision="highest"):
+    """``warp_perspective`` (bilinear, N=1) with the MXU block kernel on
+    the fast path.
+
+    The Pallas block warp (ops/pallas/warp.py) is bit-equal to the gather
+    path whenever the warp's local Jacobian fits the (ph, pw) patch
+    envelope (|rotation| up to ~15-18deg, x-scale up to ~1.9 at the
+    defaults) — the steady-state tracking regime. The envelope is checked
+    analytically per frame and a ``lax.cond`` falls back to the gather
+    path outside it (large cumulative pose), so semantics are always exact.
+
+    On non-TPU backends (or small outputs, where XLA's gather is fine)
+    this is plain ``warp_perspective``.
+    """
+    if H.ndim == 2:
+        H = H[None]
+    out_h, out_w = out_shape if out_shape is not None else img.shape[1:3]
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and img.shape[0] == 1
+                      and out_h * out_w >= 300_000)
+    coords = perspective_coords(H, (out_h, out_w))
+    if not use_pallas:
+        return grid_sample(img, coords, mode="bilinear")
+
+    from .pallas.warp import plan_block_warp, warp_bilinear_from_plan
+
+    plan = plan_block_warp(coords[0], img.shape[1:3], ph, pw)
+
+    def fast(_):
+        return warp_bilinear_from_plan(img, plan, out_h, out_w, ph, pw,
+                                       interpret, precision)
+
+    def slow(_):
+        return grid_sample(img, coords, mode="bilinear")
+
+    return jax.lax.cond(plan["ok"], fast, slow, operand=None)
 
 
 def warp_validity_mask(H, src_hw, out_shape=None):

@@ -43,7 +43,8 @@ from ..geometry.homography import (
 from ..models.raft import RaftConfig, weighted_raft_forward, encode_template
 from ..ops.pad import make_padder
 from ..ops.sampling import masked_sobol_gather
-from ..ops.warp import warp_perspective, warp_validity_at
+from ..ops.warp import (warp_perspective, warp_perspective_fast,
+                        warp_validity_at)
 
 logger = logging.getLogger(__name__)
 
@@ -347,8 +348,17 @@ def build_track_step(raft_cfg: RaftConfig, tp: TrackerParams, flow_fn=None):
         last_good = jnp.where(reset, jnp.eye(3, dtype=jnp.float32),
                               state.last_good_h2init)
 
-        # pre-warp by the last good homography (ref:YAOF:83-96)
-        prewarped = warp_perspective(frame, last_good)
+        # pre-warp by the last good homography (ref:YAOF:83-96); on TPU at
+        # big frames this takes the MXU block-warp kernel with an exact
+        # gather fallback outside its pose envelope (ops/pallas/warp.py).
+        # In bf16 model mode the kernel's blend matmul may use the fast
+        # MXU path: the encoders quantize the prewarped image to bf16
+        # anyway, so the ~0.5-intensity rounding is below the model's own
+        # input quantization; parity modes keep the bit-exact blend.
+        prewarped = warp_perspective_fast(
+            frame, last_good,
+            precision="default" if raft_cfg.precision == "bf16"
+            else "highest")
 
         # global flow template -> prewarped current (ref:YAOF:98-131)
         if sparse_ok:
@@ -466,9 +476,12 @@ def build_track_step(raft_cfg: RaftConfig, tp: TrackerParams, flow_fn=None):
             return new_state, H_global, meta
 
         host_step.main = main       # expose the jitted main program
+        host_step._raw_step = step
         return host_step
 
-    return jax.jit(step, donate_argnums=(1,))
+    jitted = jax.jit(step, donate_argnums=(1,))
+    jitted._raw_step = step         # un-jitted body (debug/eager use)
+    return jitted
 
 
 def tracker_init_state(params, raft_cfg: RaftConfig, tp: TrackerParams,
@@ -520,6 +533,13 @@ class WOFTTracker:
                        downscale=int(config.downscale_inputs or 0),
                        padding_mode=str(config.flow_config.padding_mode
                                         or "nopad")))
+        if (config.downscale_inputs and not self.tp.downscale):
+            # configs may set downscale_inputs alongside explicit
+            # tracker_params (the reference's config shape,
+            # ref:YAOF_tracker_single_control.py:26-30) — honor it
+            from dataclasses import replace
+            self.tp = replace(self.tp,
+                              downscale=int(config.downscale_inputs))
         # the reference's L5->L3 seam: config selects the wrapper class
         # (ref:YAOF_tracker_single_control.py:23 config.flow_config.of_class)
         of_class = config.flow_config.of_class or RaftFlow
