@@ -114,3 +114,72 @@ def test_flow_to_image_matches_reference_wheel():
     ref_c = flow_viz.flow_to_image(flow, clip_flow=3.0)
     out_c = flow_to_image(flow, clip_flow=3.0)
     assert np.array_equal(out_c, ref_c)
+
+
+def test_vis_prims_round3():
+    """draw_corners / vis_vector_in_center / vis_flow / plt bridge /
+    compatible_contours / FlowGUI headless probe (ref vis_utils
+    372-400, 702-828, 668-696, 624-665, 965-1033)."""
+    import numpy as np
+    import cv2
+    from woft_tpu.utils import vis
+
+    img = np.full((60, 80, 3), 120, np.uint8)
+    corners = np.array([[10.5, 60.2, 60.0, 10.0],
+                        [10.0, 12.0, 50.5, 48.0]])
+    out = vis.draw_corners(img, corners, (0, 255, 0), with_tl=True)
+    assert out.shape == img.shape and out.sum() != img.sum()
+
+    out = vis.vis_vector_in_center(img, (12.3, -4.5))
+    assert out.sum() != img.sum()
+
+    flow = np.zeros((60, 80, 2), np.float32)
+    flow[..., 0] = 3.0
+    occl = np.zeros((60, 80), np.uint8)
+    occl[:, 40:] = 255
+    sv, dv = vis.vis_flow(flow, img, img, grid_sz=20, occl=occl,
+                          point_radius=2)
+    assert sv.shape == img.shape and dv.shape == img.shape
+    sv2, _ = vis.vis_flow(flow, img, img, grid_sz=20,
+                          arrow_color="rand")
+    assert sv2.sum() != img.sum()
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(2, 2))
+    ax.plot([0, 1], [1, 0])
+    bgr = vis.plt_to_img(fig)
+    assert bgr.ndim == 3 and bgr.shape[2] == 3
+    fig2, ax2 = plt.subplots(figsize=(2, 2))
+    ax2.plot([0, 1], [0, 1])
+    assert vis.cv_plt_show(fig2) is not None     # headless: returns image
+
+    mask = np.zeros((40, 40), np.uint8)
+    mask[10:30, 10:30] = 255
+    cs = vis.compatible_contours(mask)
+    assert len(cs) == 1
+
+    gui = vis.FlowGUI(img, img, flow, mask=np.ones((60, 80)))
+    (rx, ry), visible = gui.probe(20.0, 20.0)
+    assert abs(rx - 23.0) < 1e-4 and abs(ry - 20.0) < 1e-4 and visible
+    lv, rv = gui.render(click=(20, 20), with_flow=True)
+    assert lv.shape == img.shape
+
+
+def test_cpu_unpickler_round3():
+    import io as _io
+    import pickle
+    import numpy as np
+    from woft_tpu.utils.io import CPU_Unpickler
+
+    blob = pickle.dumps({"a": np.arange(3)})
+    out = CPU_Unpickler(_io.BytesIO(blob)).load()
+    assert list(out["a"]) == [0, 1, 2]
+
+    import torch
+    t = torch.arange(4, dtype=torch.float32)
+    blob = pickle.dumps({"t": t})
+    out = CPU_Unpickler(_io.BytesIO(blob)).load()
+    assert out["t"].device.type == "cpu"
+    assert torch.equal(out["t"], t)

@@ -304,16 +304,23 @@ def bench_pallas_warp():
 
 
 def bench_local_lookup():
-    from woft_tpu.models.corr import build_local_corr, corr_lookup_local
+    from woft_tpu.models.corr import (LocalCorrVolumes, build_local_corr,
+                                      corr_lookup_local)
     f1, f2 = _fmaps()
     vol = build_local_corr(f1, f2, out_dtype=jnp.bfloat16)
+    meta = vol.meta
     coords = _coords() * 8.0          # level-0 full-res-ish centroids
 
+    # thread the volumes through the carry — closed-over device arrays
+    # become HLO constants and blow the tunnel's compile-request limit
     def body(c):
-        out = corr_lookup_local(vol, c, 4)
-        return dep(c, out.mean())
+        coords, vols = c
+        out = corr_lookup_local(LocalCorrVolumes(list(vols), meta),
+                                coords, 4)
+        return (dep(coords, out.mean()), vols)
 
-    timed_loop("lookup local (block volumes)", body, coords, n=4)
+    timed_loop("lookup local (block volumes)", body,
+               (coords, tuple(vol.volumes)), n=4)
 
     def body_build(c):
         f1, f2 = c

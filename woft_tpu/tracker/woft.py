@@ -479,7 +479,14 @@ def build_track_step(raft_cfg: RaftConfig, tp: TrackerParams, flow_fn=None):
         host_step._raw_step = step
         return host_step
 
-    jitted = jax.jit(step, donate_argnums=(1,))
+    # No state donation on TPU: donating a buffer that is consumed inside
+    # the pre-warp lax.cond (pallas kernel vs gather branches) is rejected
+    # by the TPU runtime with an opaque InvalidArgument at big frame sizes
+    # (bisected r3: identical graph runs without donation). The extra
+    # state copy is noise next to full-frame compute; the device-resident
+    # window step (tracker/window_step.py) keeps its own donation.
+    donate = () if jax.default_backend() == "tpu" else (1,)
+    jitted = jax.jit(step, donate_argnums=donate)
     jitted._raw_step = step         # un-jitted body (debug/eager use)
     return jitted
 

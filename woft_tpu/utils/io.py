@@ -6,6 +6,7 @@ files or image directories, and KITTI-style 16-bit png flow storage with
 """
 
 import os
+import pickle
 from pathlib import Path
 
 import numpy as np
@@ -182,3 +183,17 @@ class VideoWriter:
     def release(self):
         if self.writer is not None:
             self.writer.release()
+
+
+class CPU_Unpickler(pickle.Unpickler):
+    """Unpickle blobs containing GPU torch tensors on a CPU-only host
+    (ref:pytracking/utils/io.py:96-106): torch storage loads are rerouted
+    through ``map_location='cpu'``."""
+
+    def find_class(self, module, name):
+        if module == "torch.storage" and name == "_load_from_bytes":
+            import io as _io
+            import torch
+            return lambda b: torch.load(_io.BytesIO(b),
+                                        map_location="cpu")
+        return super().find_class(module, name)

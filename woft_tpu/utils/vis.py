@@ -347,3 +347,234 @@ def polylines(img, pts, is_closed, color, thickness=1, shift=4):
     p = np.round((2 ** shift) * np.asarray(pts)).astype(np.int32)
     return cv2.polylines(img, [p], is_closed, color, thickness,
                          cv2.LINE_AA, shift=shift)
+
+
+def draw_corners(canvas, corners, color, thickness=2, with_cross=True,
+                 with_tl=False):
+    """Draw a 4-corner polygon with optional diagonals and TL dot
+    (ref:vis_utils.py:372-392). corners: (2, 4) float (x, y) columns."""
+    import cv2
+    if corners is None:
+        return canvas
+    corners = np.asarray(corners, np.float64)
+    assert corners.shape == (2, 4), corners.shape
+    vis = canvas.copy()
+    quad = corners.T                                      # (4, 2)
+    vis = polylines(vis, quad, True, color, thickness)
+    if with_cross:
+        vis = line(vis, quad[0], quad[2], color, thickness)
+        vis = line(vis, quad[1], quad[3], color, thickness)
+    if with_tl:
+        cv2.circle(vis, tuple(np.round(quad[0]).astype(int).tolist()),
+                   radius=2 * thickness, color=color, thickness=-1)
+    return vis
+
+
+def vis_vector_in_center(img, vector, color=(0, 255, 0), thickness=2,
+                         shift=4):
+    """Draw a vector anchored at the image center
+    (ref:vis_utils.py:394-400)."""
+    canvas = img.copy()
+    cx, cy = canvas.shape[1] / 2.0, canvas.shape[0] / 2.0
+    line(canvas, (cx, cy), (cx + vector[0], cy + vector[1]), color,
+         thickness, shift=shift)
+    return canvas
+
+
+def vis_flow(flow, src_img, dst_img, grid_sz=10, occl=None, occl_thr=255,
+             arrow_color=(0, 0, 255), point_color=(0, 255, 255),
+             point_radius=0, occlusion_color=None, vis_alpha=1.0,
+             decimal_places=2):
+    """Dual-view flow renderer: arrows + endpoints drawn subpixel into
+    BOTH the source and destination images (ref:vis_utils.py:702-828).
+
+    flow: (H, W, 2|3); occl: optional (H, W) uint8 soft occlusion, points
+    at/above ``occl_thr`` are occluded (skipped, or tinted
+    ``occlusion_color`` when given). ``arrow_color='rand'`` gives each
+    grid point a deterministic random colour (seed 42, like upstream).
+    Returns (src_vis, dst_vis)."""
+    import cv2
+    from .random_utils import tmp_np_seed
+
+    H, W = flow.shape[:2]
+    shift = int(np.ceil(np.log2(10 ** decimal_places)))
+    mul = 2 ** shift
+
+    ys, xs = np.mgrid[0:H:grid_sz, 0:W:grid_sz]
+    xs = xs.ravel()
+    ys = ys.ravel()
+    starts = np.stack([xs, ys], axis=1).astype(np.float64)
+    ends = starts + flow[ys, xs, :2]
+
+    occluded = (np.zeros(len(xs), bool) if occl is None
+                else occl[ys, xs] >= occl_thr)
+    if arrow_color == "rand":
+        with tmp_np_seed(42):
+            palette = np.random.randint(0, 255, size=(H * W, 3))
+        colors = [tuple(int(v) for v in palette[i])
+                  for i in ys * W + xs]
+    else:
+        colors = [arrow_color] * len(xs)
+
+    src_vis = src_img.copy()
+    dst_vis = dst_img.copy()
+    bg = OverlayBackground(src_img.copy(), dst_img.copy())
+    a_i = np.round(starts * mul).astype(np.int32)
+    b_i = np.round(ends * mul).astype(np.int32)
+    for i in range(len(xs)):
+        if occluded[i] and occlusion_color is None:
+            continue
+        for canvas in (src_vis, dst_vis):
+            cv2.line(canvas, tuple(a_i[i]), tuple(b_i[i]), colors[i],
+                     lineType=cv2.LINE_AA, shift=shift)
+    pr = point_radius * mul
+    for i in range(len(xs)):
+        if occluded[i] and occlusion_color is None:
+            continue
+        cv2.circle(src_vis, tuple(a_i[i]), radius=pr, color=point_color,
+                   lineType=cv2.LINE_AA, shift=shift)
+        cv2.circle(dst_vis, tuple(b_i[i]), radius=pr,
+                   color=occlusion_color if occluded[i] else point_color,
+                   lineType=cv2.LINE_AA, shift=shift)
+    return bg.overlay(src_vis, dst_vis, alpha=vis_alpha)
+
+
+def plt_to_img(fig, close=True):
+    """Render a matplotlib figure to a BGR numpy image
+    (ref:vis_utils.py:668-684)."""
+    import matplotlib.pyplot as plt
+    fig.tight_layout(pad=0)
+    fig.canvas.draw()
+    buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+    if close:
+        plt.close(fig)
+    return buf[:, :, ::-1].copy()
+
+
+def cv_plt_show(fig=None, close=True, window="cv: img"):
+    """Show a matplotlib figure through cv2 ('q' quits)
+    (ref:vis_utils.py:687-696). Headless-safe: without a display the
+    rendered image is returned instead of shown."""
+    import os
+    import cv2
+    import matplotlib.pyplot as plt
+    if fig is None:
+        fig = plt.gcf()
+    img = plt_to_img(fig, close)
+    if not os.environ.get("DISPLAY"):
+        return img
+    cv2.imshow(window, img)
+    while cv2.waitKey(0) != ord("q"):
+        pass
+    return img
+
+
+def compatible_contours(thresh, retrieval_mode=None):
+    """cv2.findContours across OpenCV 2/3/4 return conventions
+    (ref:vis_utils.py:624-665)."""
+    import cv2
+    if retrieval_mode is None:
+        retrieval_mode = cv2.RETR_EXTERNAL
+    out = cv2.findContours(thresh, retrieval_mode, cv2.CHAIN_APPROX_SIMPLE)
+    # cv2/cv4 return (contours, hierarchy); cv3 (img, contours, hierarchy)
+    return out[1] if len(out) == 3 else out[0]
+
+
+def to_gray_3ch(img):
+    """Grayscale rendered back to 3 channels (ref:vis_utils.py:209)."""
+    import cv2
+    g = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+    return cv2.cvtColor(g, cv2.COLOR_GRAY2BGR)
+
+
+class FlowGUI:
+    """Interactive click-to-probe flow inspector
+    (ref:vis_utils.py:965-1033): click a point in the left image, see its
+    flow-mapped twin in the right; 'g' toggles gray, 'v' overlays flow
+    arrows, 'q' quits, 'x' exits.
+
+    Headless environments (no $DISPLAY) can still use ``probe(x, y)``
+    programmatically and ``render(with_flow=...)`` to get the two
+    canvases — the interactive ``draw()`` loop requires a display."""
+
+    def __init__(self, left_img, right_img, flow_left_to_right, mask=None):
+        self.left_img = left_img.copy()
+        self.right_img = right_img.copy()
+        self.mask = mask
+        self.left_gray = to_gray_3ch(left_img)
+        self.right_gray = to_gray_3ch(right_img)
+        if flow_left_to_right.shape[0] == 2:
+            flow_left_to_right = np.transpose(flow_left_to_right, (1, 2, 0))
+        self.flow = np.asarray(flow_left_to_right)
+        self.gray = True
+
+    def _canvases(self):
+        if self.gray:
+            return self.left_gray.copy(), self.right_gray.copy()
+        return self.left_img.copy(), self.right_img.copy()
+
+    def probe(self, x, y):
+        """-> ((right_x, right_y), visible) for a left-image click."""
+        from ..ops.interpolation import interp_flow
+        f = np.asarray(interp_flow(self.flow[..., :2],
+                                   np.array([[x], [y]], np.float64)))
+        visible = True
+        if self.mask is not None:
+            yi = int(np.clip(round(y), 0, self.mask.shape[0] - 1))
+            xi = int(np.clip(round(x), 0, self.mask.shape[1] - 1))
+            visible = bool(self.mask[yi, xi] > 0.5)
+        return (x + float(f[0, 0]), y + float(f[1, 0])), visible
+
+    def render(self, click=None, with_flow=False):
+        left_vis, right_vis = self._canvases()
+        if click is not None:
+            (rx, ry), visible = self.probe(*click)
+            color = (0, 0, 255) if visible else (135, 0, 120)
+            import cv2
+            cv2.circle(left_vis, (int(round(click[0])),
+                                  int(round(click[1]))),
+                       radius=6, color=color, thickness=-1)
+            right_vis = circle(right_vis, (rx, ry), radius=6, color=color,
+                               thickness=-1)
+        if with_flow:
+            base = vis_alignment_plain(left_vis, right_vis)
+            occl = (None if self.mask is None
+                    else np.uint8(255) * (self.mask < 0.5).astype(np.uint8))
+            left_vis, right_vis = vis_flow(self.flow, base, base,
+                                           grid_sz=30, occl=occl,
+                                           occl_thr=128)
+        return left_vis, right_vis
+
+    def draw(self):
+        import os
+        import cv2
+        if not os.environ.get("DISPLAY"):
+            raise RuntimeError("FlowGUI.draw() needs a display; use "
+                               "probe()/render() headlessly")
+        for name in ("cv: left", "cv: right"):
+            cv2.namedWindow(name, cv2.WINDOW_NORMAL)
+            cv2.resizeWindow(name, 800, 600)
+        cv2.setMouseCallback("cv: left", self._handler)
+        left_vis, right_vis = self.render()
+        cv2.imshow("cv: left", left_vis)
+        cv2.imshow("cv: right", right_vis)
+        while True:
+            c = cv2.waitKey(0)
+            if c == ord("q"):
+                break
+            if c == ord("x"):
+                raise SystemExit(1)
+            if c == ord("g"):
+                self.gray = not self.gray
+            elif c == ord("v"):
+                lv, _ = self.render(with_flow=True)
+                cv2.imshow("cv: left_flow", lv)
+
+    def _handler(self, event, x, y, flags, param):
+        import cv2
+        if event != cv2.EVENT_LBUTTONDOWN:
+            return
+        left_vis, right_vis = self.render(click=(x, y))
+        cv2.imshow("cv: left", left_vis)
+        cv2.imshow("cv: right", right_vis)
+        cv2.waitKey(1)
