@@ -191,6 +191,121 @@ def test_local_pallas_construction_matches_xla():
                                    atol=2e-5, rtol=1e-5)
 
 
+class _interpret_pallas:
+    """Force interpret=True on pallas_call in the given kernel modules."""
+
+    def __init__(self, *mods):
+        self.mods = mods
+
+    def __enter__(self):
+        # kernel modules share ONE jax.experimental.pallas module: dedup so
+        # the patch is applied (and restored) exactly once
+        pls = {id(m.pl): m.pl for m in self.mods}
+        self.saved = [(p, p.pallas_call) for p in pls.values()]
+        for p, orig in self.saved:
+            p.pallas_call = (
+                lambda *a, _o=orig, **k: _o(*a, **{**k, "interpret": True}))
+
+    def __exit__(self, *exc):
+        for p, orig in self.saved:
+            p.pallas_call = orig
+
+
+def test_local_p_layout_construction_matches_q():
+    """p-major (query-minor) construction == transposed q-major volumes,
+    in both the XLA fallback and the Pallas kernel (interpret mode)."""
+    from woft_tpu.models.corr import build_local_corr
+    from woft_tpu.ops.pallas import local_corr as plc
+
+    rng = np.random.default_rng(8)
+    f1 = jnp.asarray(rng.normal(size=(1, 16, 32, 64)), jnp.float32)
+    f2 = jnp.asarray(rng.normal(size=(1, 16, 32, 64)), jnp.float32)
+
+    ref = build_local_corr(f1, f2, radius=4, num_levels=3, margin=8,
+                           use_pallas=False, layout="q")
+    out_xla = build_local_corr(f1, f2, radius=4, num_levels=3, margin=8,
+                               use_pallas=False, layout="p")
+    with _interpret_pallas(plc):
+        out_pal = build_local_corr(f1, f2, radius=4, num_levels=3, margin=8,
+                                   use_pallas=True, layout="p")
+
+    meta = dict(ref.meta)
+    nb = meta["nbh"] * meta["nbw"]
+    bq = meta["bh"] * meta["bw"]
+    for vq, vx, vp in zip(ref.volumes, out_xla.volumes, out_pal.volumes):
+        _, wh, ww, _ = vx.shape
+        want = np.asarray(vq).reshape(nb, bq, wh, ww).transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(vx), want, atol=2e-5,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(vp), want, atol=2e-5,
+                                   rtol=1e-5)
+
+
+def test_local_blocked_lookup_matches_onehot():
+    """The Pallas slab-lookup kernel (interpret) through p-layout volumes
+    must reproduce the q-layout one-hot lookup, including the channel
+    reorder in to_natural() and saturation clamping."""
+    from woft_tpu.models.corr import build_local_corr, corr_lookup_local
+    from woft_tpu.ops.pallas import local_corr as plc
+    from woft_tpu.ops.pallas import local_lookup as pll
+
+    rng = np.random.default_rng(9)
+    H1, W1, D = 16, 32, 64
+    f1 = jnp.asarray(rng.normal(size=(1, H1, W1, D)), jnp.float32)
+    f2 = jnp.asarray(rng.normal(size=(1, H1, W1, D)), jnp.float32)
+
+    ys, xs = np.meshgrid(np.arange(H1, dtype=np.float32),
+                         np.arange(W1, dtype=np.float32), indexing="ij")
+    grid = np.stack([xs, ys], -1)[None]
+    # mix of in-range residuals and far-out (saturating clamp) centroids
+    res = rng.uniform(-7.0, 7.0, grid.shape).astype(np.float32)
+    res[0, :4] += 300.0
+    coords = jnp.asarray(grid + res)
+
+    vq = build_local_corr(f1, f2, radius=4, num_levels=3, margin=8,
+                          use_pallas=False, layout="q")
+    ref = np.asarray(corr_lookup_local(vq, coords, 4))
+    with _interpret_pallas(plc, pll):
+        vp = build_local_corr(f1, f2, radius=4, num_levels=3, margin=8,
+                              use_pallas=True, layout="p")
+        out = np.asarray(corr_lookup_local(vp, coords, 4))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_local_pallas_forward_matches_dense():
+    """End-to-end forward with the Pallas blocked-lookup hot path
+    (local_pallas=True, interpret on CPU) == the dense gather path,
+    including the blocked motion-encoder consumption and the sparse
+    weight head's dense-select branch."""
+    from woft_tpu.models.raft import (RaftConfig, init_raft_params,
+                                      weighted_raft_forward)
+    from woft_tpu.ops.pallas import local_corr as plc
+    from woft_tpu.ops.pallas import local_lookup as pll
+
+    rng = np.random.default_rng(12)
+    img1 = jnp.asarray(rng.uniform(0, 255, (1, 64, 96, 3)), jnp.float32)
+    img2 = jnp.asarray(rng.uniform(0, 255, (1, 64, 96, 3)), jnp.float32)
+    cfg_d = RaftConfig(variant="weighted", iters=3, corr_impl="gather")
+    cfg_p = RaftConfig(variant="weighted", iters=3, corr_impl="local",
+                       local_margin=16, local_pallas=True)
+    params = init_raft_params(jax.random.PRNGKey(1), cfg_d)
+    out_d = weighted_raft_forward(params, cfg_d, img1, img2)
+    with _interpret_pallas(plc, pll):
+        out_p = weighted_raft_forward(params, cfg_p, img1, img2)
+        for key in ("flow_up", "weights_up", "mean_response"):
+            np.testing.assert_allclose(np.asarray(out_p[key]),
+                                       np.asarray(out_d[key]),
+                                       atol=1e-3, rtol=1e-4)
+
+        # sparse weight head: dense-select branch
+        out_s = weighted_raft_forward(params, cfg_p, img1, img2,
+                                      sparse_weight_head=True)
+        cells = jnp.asarray(rng.integers(0, 8 * 12, size=(40,)), jnp.int32)
+        w_sparse = np.asarray(out_s["weight_head_at"](cells))
+    w_dense = np.asarray(out_p["weights"]).reshape(-1)[np.asarray(cells)]
+    np.testing.assert_allclose(w_sparse, w_dense, atol=1e-4, rtol=1e-4)
+
+
 def test_local_forward_matches_dense():
     """corr_impl='local' end-to-end == the dense path (margin covers the
     whole level at this size, so equality is exact everywhere)."""

@@ -80,6 +80,26 @@ def main():
                   f"lookup max|d|={lmax:.3e} -> "
                   f"{'PASS' if ok else 'FAIL'}", flush=True)
 
+    # r3: the p-layout construction + Pallas slab-lookup kernel pair (the
+    # blocked hot path) vs the q-layout one-hot reference, compiled on chip
+    for margin in (8, 16):
+        for dtype, tol in ((None, 2e-5), (jnp.bfloat16, 2e-2)):
+            kw = dict(radius=radius, num_levels=4, margin=margin,
+                      out_dtype=dtype)
+            vol_p = build_local_corr(f1, f2, use_pallas=True, layout="p",
+                                     **kw)
+            vol_q = build_local_corr(f1, f2, use_pallas=False, layout="q",
+                                     **kw)
+            lk_p = corr_lookup_local(vol_p, coords, radius)   # slab kernel
+            lk_q = corr_lookup_local(vol_q, coords, radius)   # one-hot XLA
+            lmax = float(jnp.max(jnp.abs(lk_p - lk_q)))
+            ok = lmax <= tol * 16
+            failures += not ok
+            name = "f32" if dtype is None else "bf16"
+            print(f"margin={margin:2d} {name} slab-kernel p-layout: "
+                  f"lookup max|d|={lmax:.3e} -> "
+                  f"{'PASS' if ok else 'FAIL'}", flush=True)
+
     print("ALL PASS" if failures == 0 else f"{failures} FAILURES")
     return 1 if failures else 0
 

@@ -406,7 +406,8 @@ def _from_blocked(x, meta):
 
 def build_local_corr(fmap1, fmap2, radius=4, num_levels=4, margin=16,
                      block=(8, 16), out_dtype=None,
-                     precision=jax.lax.Precision.DEFAULT, use_pallas=None):
+                     precision=jax.lax.Precision.DEFAULT, use_pallas=None,
+                     layout="q"):
     """Block-local recentered correlation pyramid.
 
     THE TPU-native redesign of the windowed-correlation problem
@@ -428,12 +429,23 @@ def build_local_corr(fmap1, fmap2, radius=4, num_levels=4, margin=16,
     the stored window edge (saturated, finite) rather than fabricated.
 
     fmap1/fmap2: (1, H1, W1, D). Returns LocalCorrVolumes.
+
+    ``layout`` picks the stored-volume axis order:
+      - "q" (default): per-level (NB*BQ, wh, ww) query-major — consumed by
+        the one-hot MXU lookup (`corr_lookup_local`, CPU/XLA path).
+      - "p": per-level (NB, wh, ww, BQ) query-MINOR — queries sit in the
+        128 VPU lanes, consumed by the Pallas slab-lookup kernel
+        (ops/pallas/local_lookup.py, the TPU production path). Emitted
+        directly by the construction matmul (swapped operands), so no
+        transpose exists anywhere.
     """
     from ..ops.warp import avg_pool2d
 
     B, H1, W1, D = fmap1.shape
     assert B == 1, "block-local volume is a single-stream tracker path"
+    assert layout in ("q", "p"), layout
     meta = _local_layout(H1, W1, radius, num_levels, margin, block)
+    meta["layout"] = layout
     nbh, nbw, bh, bw = meta["nbh"], meta["nbw"], meta["bh"], meta["bw"]
     nb = nbh * nbw
     bq = bh * bw
@@ -461,7 +473,7 @@ def build_local_corr(fmap1, fmap2, radius=4, num_levels=4, margin=16,
             from ..ops.pallas.local_corr import block_local_corr
             corr_l = block_local_corr(
                 f1b.astype(fp.dtype), fp, sh, sw, wh, ww, nbh, nbw,
-                out_dtype or jnp.float32)
+                out_dtype or jnp.float32, p_major=(layout == "p"))
         else:
             # XLA fallback: per-block source windows at static origins
             # (by*sh, bx*sw) via nbh + nbw static strided slices
@@ -475,33 +487,63 @@ def build_local_corr(fmap1, fmap2, radius=4, num_levels=4, margin=16,
                                      bx * sw // 8 * 8 + ww, axis=2)
                 for bx in range(nbw)], axis=1)             # (nbh,nbw,wh,ww,D)
             patches = patches.reshape(nbh * nbw, wh * ww, D)
-            corr_l = jnp.einsum("bqd,bpd->bqp", f1b.astype(patches.dtype),
-                                patches, precision=precision,
-                                preferred_element_type=jnp.float32)
+            if layout == "p":
+                corr_l = jnp.einsum("bpd,bqd->bpq", patches,
+                                    f1b.astype(patches.dtype),
+                                    precision=precision,
+                                    preferred_element_type=jnp.float32)
+            else:
+                corr_l = jnp.einsum("bqd,bpd->bqp",
+                                    f1b.astype(patches.dtype), patches,
+                                    precision=precision,
+                                    preferred_element_type=jnp.float32)
             corr_l = corr_l * scale
             if out_dtype is not None:
                 corr_l = corr_l.astype(out_dtype)
-        volumes.append(corr_l.reshape(nb * bq, wh, ww))
+        volumes.append(corr_l.reshape(nb, wh, ww, bq) if layout == "p"
+                       else corr_l.reshape(nb * bq, wh, ww))
         if l + 1 < num_levels:
             lv = avg_pool2d(lv[None].astype(jnp.float32))[0]
     return LocalCorrVolumes(volumes, meta)
 
 
-def corr_lookup_local(local, coords, radius=4):
-    """Window lookup against LocalCorrVolumes (torch channel order).
+class BlockedCorr:
+    """Lookup output in blocked channel-major form (hot-loop fast path).
 
-    coords: (1, H1, W1, 2) level-0 centroids in natural raster order.
-    Returns (1, H1, W1, L*(2r+1)^2)."""
+    ``data``: (NB, L*k*k, BQ) f32 from the Pallas slab-lookup kernel,
+    channel order c = l*k*k + j*k + i (y-major per level — the transpose
+    of the torch order). The motion encoder consumes this directly by
+    folding the (j, i) swap into its channel-reduction weights
+    (models/raft.py `_corr_conv1`), so the per-iteration path carries NO
+    query-major relayouts; `to_natural()` pays the one transpose for
+    consumers that need the torch layout."""
+
+    def __init__(self, data, meta, levels, k):
+        self.data = data
+        self.meta = meta
+        self.levels = levels
+        self.k = k
+
+    def to_natural(self):
+        """-> (1, H1, W1, L*k*k) in torch channel order c = i*k + j."""
+        meta = self.meta
+        nb, _, bq = self.data.shape
+        L, k = self.levels, self.k
+        x = self.data.reshape(nb, L, k, k, bq)             # (b, l, j, i, q)
+        x = x.transpose(0, 4, 1, 3, 2)                     # (b, q, l, i, j)
+        x = x.reshape(nb * bq, L * k * k)
+        return _from_blocked(x, meta).reshape(
+            1, meta["H1"], meta["W1"], L * k * k)
+
+
+def _local_level_coords(local, cb, radius):
+    """Per-level clamped window-local coords for blocked queries.
+
+    cb: (NB, BQ, 2) blocked level-0 centroids. Yields (level_meta_dict,
+    (NB, BQ, 2) coords clamped fully inside the stored window)."""
     meta = local.meta
-    H1, W1 = meta["H1"], meta["W1"]
-    nbh, nbw, bh, bw = meta["nbh"], meta["nbw"], meta["bh"], meta["bw"]
-    nb, bq = nbh * nbw, bh * bw
-    k = 2 * radius + 1
-
-    cb = _to_blocked(coords.reshape(H1 * W1, 2), meta)     # (NB*BQ, 2)
-    outs = []
-    for l, (corr_l, lv_meta) in enumerate(zip(local.volumes,
-                                              meta["levels"])):
+    nbh, nbw = meta["nbh"], meta["nbw"]
+    for l, lv_meta in enumerate(meta["levels"]):
         d = dict(lv_meta)
         pad_l, wh, ww, sh, sw = d["pad"], d["wh"], d["ww"], d["sh"], d["sw"]
         # window-local coords: level coords + pad - static block origin
@@ -510,11 +552,74 @@ def corr_lookup_local(local, coords, radius=4):
         bx = (jnp.tile(jnp.arange(nbw, dtype=jnp.int32) * sw, nbh)
               // 8) * 8
         origin = jnp.stack([bx, by], -1)[:, None].astype(jnp.float32)
-        c = (cb.reshape(nb, bq, 2) / (2.0 ** l)) + pad_l - origin
+        c = (cb / (2.0 ** l)) + pad_l - origin
         # clamp into the stored window (saturate out-of-range centroids)
         c = jnp.stack([
             jnp.clip(c[..., 0], radius, ww - radius - 1.001),
             jnp.clip(c[..., 1], radius, wh - radius - 1.001)], -1)
+        yield d, c
+
+
+def _slab_weights(c, size, radius):
+    """Two-hot slab-start weights for one axis.
+
+    c: (NB, BQ) clamped coords along the axis; size: stored window extent
+    (wh or ww). Returns (NB, size - 2*radius, BQ) f32: weight of the
+    k-wide slab starting at s, = (1-f)*[s == c0-r] + f*[s == c0-r+1]."""
+    f32 = jnp.float32
+    c0 = jnp.floor(c)
+    frac = (c - c0).astype(f32)
+    s0 = c0.astype(jnp.int32) - radius                 # in [0, size-k-1]
+    n = size - 2 * radius                              # = size - k + 1
+    ids = jnp.arange(n, dtype=jnp.int32)[None, :, None]
+    s0 = s0[:, None, :]
+    frac = frac[:, None, :]
+    return ((ids == s0).astype(f32) * (1.0 - frac)
+            + (ids == s0 + 1).astype(f32) * frac)
+
+
+def corr_lookup_local_blocked(local, coords, radius=4):
+    """Pallas slab lookup -> BlockedCorr (requires layout='p' volumes).
+
+    coords: (1, H1, W1, 2) level-0 centroids in natural raster order."""
+    from ..ops.pallas.local_lookup import block_local_lookup
+
+    meta = local.meta
+    assert meta.get("layout") == "p", "blocked lookup needs p-layout volumes"
+    H1, W1 = meta["H1"], meta["W1"]
+    nbh, nbw, bh, bw = meta["nbh"], meta["nbw"], meta["bh"], meta["bw"]
+    nb, bq = nbh * nbw, bh * bw
+    k = 2 * radius + 1
+
+    cb = _to_blocked(coords.reshape(H1 * W1, 2), meta).reshape(nb, bq, 2)
+    outs = []
+    for vol, (d, c) in zip(local.volumes,
+                           _local_level_coords(local, cb, radius)):
+        wy = _slab_weights(c[..., 1], d["wh"], radius)     # (NB, n_s, BQ)
+        wx = _slab_weights(c[..., 0], d["ww"], radius)     # (NB, n_t, BQ)
+        outs.append(block_local_lookup(vol, wy, wx, k))    # (NB, k*k, BQ)
+    data = jnp.concatenate(outs, axis=1)                   # (NB, L*k*k, BQ)
+    return BlockedCorr(data, meta, len(local.volumes), k)
+
+
+def corr_lookup_local(local, coords, radius=4):
+    """Window lookup against LocalCorrVolumes (torch channel order).
+
+    coords: (1, H1, W1, 2) level-0 centroids in natural raster order.
+    Returns (1, H1, W1, L*(2r+1)^2)."""
+    meta = local.meta
+    if meta.get("layout") == "p":
+        return corr_lookup_local_blocked(local, coords, radius).to_natural()
+
+    H1, W1 = meta["H1"], meta["W1"]
+    nbh, nbw, bh, bw = meta["nbh"], meta["nbw"], meta["bh"], meta["bw"]
+    nb, bq = nbh * nbw, bh * bw
+    k = 2 * radius + 1
+
+    cb = _to_blocked(coords.reshape(H1 * W1, 2), meta).reshape(nb, bq, 2)
+    outs = []
+    for corr_l, (d, c) in zip(local.volumes,
+                              _local_level_coords(local, cb, radius)):
         outs.append(_lookup_level_onehot(corr_l, c.reshape(nb * bq, 2),
                                          radius))
     out = jnp.concatenate(outs, axis=-1)                   # (NB*BQ, L*k*k)
@@ -526,8 +631,12 @@ def corr_lookup_local_sparse(local, coords, cells, radius=4):
 
     coords: (M, 2) level-0 centroids; cells: (M,) flat NATURAL raster
     indices into the H1*W1 grid. Returns (M, L*(2r+1)^2). Powers the
-    sparse weight-head path."""
+    sparse weight-head path. q-layout volumes only — with p-layout the
+    caller selects rows from the (already computed) dense final lookup
+    instead (models/raft.py)."""
     meta = local.meta
+    assert meta.get("layout", "q") == "q", \
+        "sparse lookup reads q-layout volumes"
     W1, bh, bw = meta["W1"], meta["bh"], meta["bw"]
     nbw = meta["nbw"]
     bq = bh * bw

@@ -40,6 +40,10 @@ def get_precision():
     return _PRECISION
 
 
+def get_compute_dtype():
+    return _COMPUTE_DTYPE
+
+
 def conv2d(p, x, stride=1, padding=0, dtype=None):
     """2-D convolution, torch-compatible explicit padding.
 

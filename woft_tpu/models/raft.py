@@ -20,7 +20,7 @@ Everything per-frame-pair; batch dim carries multiple targets/streams.
 """
 
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -50,7 +50,11 @@ class RaftConfig:
     local_margin: int = 16             # corr_impl='local': exact-lookup
                                        # half-range in 1/8-res cells
                                        # (16 -> +-128 full-res px residual)
-    precision: str = "highest"         # 'highest' | 'default' | 'bf16' 
+    local_pallas: Optional[bool] = None  # corr_impl='local': Pallas
+                                       # construction+lookup kernels with
+                                       # query-minor volumes (None = auto:
+                                       # on for non-CPU backends)
+    precision: str = "highest"         # 'highest' | 'default' | 'bf16'
 
     @property
     def hidden_dim(self):
@@ -153,9 +157,45 @@ def _flow_head(p, x):
                          padding=1)
 
 
+def _corr_conv1(pc, corr):
+    """relu(convc1(corr)) accepting natural (B,H,W,C) or BlockedCorr.
+
+    The Pallas slab lookup emits (NB, L*k*k, BQ) with channels in
+    (level, j, i) order (see ops/pallas/local_lookup.py). convc1 is the
+    sole consumer of the raw corr channels and is a pure channel
+    reduction, so BOTH the query-major relayout and the (j, i) -> (i, j)
+    order swap fold into this matmul for free: the weight rows are
+    view-permuted (exact — each output channel is an independent sum) and
+    the contraction runs with queries as the M dim. Only the 128-ch
+    output gets re-laid to spatial NHWC (same relayout the natural path
+    pays), never the 324-ch lookup tensor x 12 iterations."""
+    from .corr import BlockedCorr, _from_blocked
+
+    if not isinstance(corr, BlockedCorr):
+        return layers.relu(layers.conv2d(pc, corr))
+    w = pc["weight"][0, 0]                                 # (L*k*k, Co)
+    L, k = corr.levels, corr.k
+    co = w.shape[-1]
+    wv = (w.reshape(L, k, k, co).transpose(0, 2, 1, 3)     # torch (l,i,j)
+          .reshape(L * k * k, co))                         # -> kernel (l,j,i)
+    data = corr.data                                       # (NB, C, BQ) f32
+    cd = layers.get_compute_dtype()
+    if cd is not None:
+        data = data.astype(cd)
+        wv = wv.astype(cd)
+    out = jnp.einsum("bcq,co->bqo", data, wv,
+                     precision=layers.get_precision(),
+                     preferred_element_type=jnp.float32)
+    out = out + pc["bias"].astype(out.dtype)
+    nb, _, bq = corr.data.shape
+    out = _from_blocked(out.reshape(nb * bq, co), corr.meta)
+    meta = corr.meta
+    return layers.relu(out.reshape(1, meta["H1"], meta["W1"], co))
+
+
 def _basic_motion_encoder(p, flow, corr):
     """ref:update.py:79-97."""
-    cor = layers.relu(layers.conv2d(p["convc1"], corr))
+    cor = _corr_conv1(p["convc1"], corr)
     cor = layers.relu(layers.conv2d(p["convc2"], cor, padding=1))
     flo = layers.relu(layers.conv2d(p["convf1"], flow, padding=3))
     flo = layers.relu(layers.conv2d(p["convf2"], flo, padding=1))
@@ -167,7 +207,7 @@ def _basic_motion_encoder(p, flow, corr):
 
 def _small_motion_encoder(p, flow, corr):
     """ref:update.py:62-77."""
-    cor = layers.relu(layers.conv2d(p["convc1"], corr))
+    cor = _corr_conv1(p["convc1"], corr)
     flo = layers.relu(layers.conv2d(p["convf1"], flow, padding=3))
     flo = layers.relu(layers.conv2d(p["convf2"], flo, padding=1))
     out = layers.relu(layers.conv2d(p["conv"],
@@ -176,29 +216,80 @@ def _small_motion_encoder(p, flow, corr):
     return jnp.concatenate([out, flow], -1)
 
 
-def _gru_gates(pz, pr, pq, h, x, pad):
+def _gru_gates(pz, pr, pq, h, x, pad, pre=None):
+    """One gated update. ``x`` is the varying input (motion features, or
+    cat(inp, motion) when ``pre`` is None).
+
+    ``pre``: optional (zr_pre, q_pre) — the context (`inp`) channels'
+    contribution to the zr and q convolutions, precomputed ONCE per frame
+    (`precompute_gru_context`). `inp` never changes across GRU iterations,
+    and a convolution is linear in its input channels, so splitting
+    conv([h, inp, motion]) = conv_hm([h, motion]) + conv_inp(inp) is exact
+    and removes a third of the recurrent convs' FLOPs from the 12x loop."""
     hx = jnp.concatenate([h, x], -1)
     # z and r read the same input: run them as ONE conv with concatenated
     # output channels (numerically identical per-channel — each output
     # channel is an independent reduction; halves the GRU's kernel count
     # and doubles the matmul N for better MXU tiling)
+    hd = h.shape[-1]
+    xd = x.shape[-1]
+    if pre is None:
+        wz, wr, wq = pz["weight"], pr["weight"], pq["weight"]
+    else:
+        # drop the inp rows: their contribution arrives via `pre`
+        def hm_rows(w):
+            return jnp.concatenate([w[:, :, :hd], w[:, :, -xd:]], axis=2)
+        wz, wr, wq = (hm_rows(pz["weight"]), hm_rows(pr["weight"]),
+                      hm_rows(pq["weight"]))
     zr = layers.conv2d(
-        {"weight": jnp.concatenate([pz["weight"], pr["weight"]], axis=-1),
+        {"weight": jnp.concatenate([wz, wr], axis=-1),
          "bias": jnp.concatenate([pz["bias"], pr["bias"]], axis=-1)},
         hx, padding=pad)
+    if pre is not None:
+        zr = zr + pre[0]
     C = pz["weight"].shape[-1]
     z = jax.nn.sigmoid(zr[..., :C])
     r = jax.nn.sigmoid(zr[..., C:])
-    q = jnp.tanh(layers.conv2d(pq, jnp.concatenate([r * h, x], -1),
-                               padding=pad))
+    q = layers.conv2d({"weight": wq, "bias": pq["bias"]},
+                      jnp.concatenate([r * h, x], -1), padding=pad)
+    if pre is not None:
+        q = q + pre[1]
+    q = jnp.tanh(q)
     return (1 - z) * h + z * q
 
 
-def _sep_conv_gru(p, h, x):
+def _sep_conv_gru(p, h, x, pre=None):
     """1x5 then 5x1 gated updates (ref:update.py:33-60)."""
-    h = _gru_gates(p["convz1"], p["convr1"], p["convq1"], h, x, (0, 2))
-    h = _gru_gates(p["convz2"], p["convr2"], p["convq2"], h, x, (2, 0))
+    h = _gru_gates(p["convz1"], p["convr1"], p["convq1"], h, x, (0, 2),
+                   None if pre is None else pre["d1"])
+    h = _gru_gates(p["convz2"], p["convr2"], p["convq2"], h, x, (2, 0),
+                   None if pre is None else pre["d2"])
     return h
+
+
+def precompute_gru_context(p, inp, hd):
+    """Per-frame loop-invariant context contributions to the SepConvGRU.
+
+    Returns {'d1': (zr_pre, q_pre), 'd2': ...} maps, each the convolution
+    of `inp` against the context rows of the corresponding gate kernels
+    (bias-free; biases stay on the recurrent half). See _gru_gates."""
+    ci = inp.shape[-1]
+
+    def ctx(w):
+        return w[:, :, hd:hd + ci]
+
+    out = {}
+    for name, kz, kr, kq, pad in (("d1", "convz1", "convr1", "convq1",
+                                   (0, 2)),
+                                  ("d2", "convz2", "convr2", "convq2",
+                                   (2, 0))):
+        wzr = jnp.concatenate([ctx(p[kz]["weight"]),
+                               ctx(p[kr]["weight"])], axis=-1)
+        zr_pre = layers.conv2d({"weight": wzr}, inp, padding=pad)
+        q_pre = layers.conv2d({"weight": ctx(p[kq]["weight"])}, inp,
+                              padding=pad)
+        out[name] = (zr_pre, q_pre)
+    return out
 
 
 def _conv_gru(p, h, x):
@@ -206,15 +297,30 @@ def _conv_gru(p, h, x):
     return _gru_gates(p["convz"], p["convr"], p["convq"], h, x, 1)
 
 
-def update_block_apply(p, net, inp, corr, flow, small=False):
-    """-> (net, up_mask | None, delta_flow) (ref:update.py:99-136)."""
+def update_block_apply(p, net, inp, corr, flow, small=False, pre=None,
+                       with_mask=True):
+    """-> (net, up_mask | None, delta_flow) (ref:update.py:99-136).
+
+    ``pre``: loop-invariant context contributions from
+    `precompute_gru_context` — when given, ``inp`` is NOT concatenated
+    into the GRU input (its conv contribution arrives via ``pre``).
+    ``with_mask=False`` skips the convex-upsample mask convs; the final
+    mask is recoverable from the returned ``net`` via `mask_from_net`
+    (only the LAST iteration's mask is ever consumed downstream, so
+    running these convs inside the 12x loop is pure waste)."""
     if small:
         motion = _small_motion_encoder(p["encoder"], flow, corr)
         net = _conv_gru(p["gru"], net, jnp.concatenate([inp, motion], -1))
         delta = _flow_head(p["flow_head"], net)
         return net, None, delta
     motion = _basic_motion_encoder(p["encoder"], flow, corr)
-    net = _sep_conv_gru(p["gru"], net, jnp.concatenate([inp, motion], -1))
+    if pre is None:
+        net = _sep_conv_gru(p["gru"], net,
+                            jnp.concatenate([inp, motion], -1))
+    else:
+        net = _sep_conv_gru(p["gru"], net, motion, pre)
+    if not with_mask:
+        return net, None, _flow_head(p["flow_head"], net)
     # the flow head's conv1 and the mask head's conv 0 both read ``net``:
     # one fused 3x3 128->512 conv (exact, see _gru_gates note)
     fh, mh = p["flow_head"], p["mask"]
@@ -229,6 +335,16 @@ def update_block_apply(p, net, inp, corr, flow, small=False):
                           padding=1)
     mask = 0.25 * layers.conv2d(mh["2"], layers.relu(c1[..., Cf:]))
     return net, mask, delta
+
+
+def mask_from_net(p, net):
+    """Convex-upsample mask from a GRU state (ref:update.py:126-130).
+
+    Bit-equal to the mask leg of `update_block_apply` at the same
+    ``net`` (same convs, same 0.25 scale)."""
+    mh = p["mask"]
+    return 0.25 * layers.conv2d(
+        mh["2"], layers.relu(layers.conv2d(mh["0"], net, padding=1)))
 
 
 # ---------------------------------------------------------------------------
@@ -368,6 +484,7 @@ def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
         net = jnp.tanh(cnet[..., :hdim])
         inp = jax.nn.relu(cnet[..., hdim:hdim + cdim])
 
+    lookup_natural = None            # set when `lookup` returns BlockedCorr
     if cfg.alternate_corr:
         # on-the-fly windowed correlation: no O(Q^2) volume in HBM
         # (ref:raft_core/corr.py:72-100 AlternateCorrBlock capability)
@@ -387,19 +504,31 @@ def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
         # corr.build_local_corr) — exact within +-local_margin cells of
         # post-prewarp residual, saturated beyond
         from .corr import (build_local_corr, corr_lookup_local,
-                           corr_mean_response)
+                           corr_lookup_local_blocked, corr_mean_response)
 
         vol_dtype = (jnp.bfloat16 if cfg.precision in ("default", "bf16")
                      else None)
+        use_p = (cfg.local_pallas if cfg.local_pallas is not None
+                 else jax.default_backend() not in ("cpu",))
         local_vol = build_local_corr(
             fmap1.astype(jnp.float32), fmap2.astype(jnp.float32),
             radius, cfg.corr_levels, margin=cfg.local_margin,
-            out_dtype=vol_dtype, precision=cfg.lax_precision)
+            out_dtype=vol_dtype, precision=cfg.lax_precision,
+            use_pallas=use_p, layout="p" if use_p else "q")
         mean_response = corr_mean_response(fmap1.astype(jnp.float32),
                                            fmap2.astype(jnp.float32))
 
-        def lookup(coords):
-            return corr_lookup_local(local_vol, coords, radius)
+        if use_p:
+            # hot loop: blocked Pallas slab lookup, zero relayouts (the
+            # motion encoder's convc1 absorbs layout + channel order)
+            def lookup(coords):
+                return corr_lookup_local_blocked(local_vol, coords, radius)
+
+            def lookup_natural(coords):
+                return corr_lookup_local(local_vol, coords, radius)
+        else:
+            def lookup(coords):
+                return corr_lookup_local(local_vol, coords, radius)
     else:
         # Build the pyramid fused (one MXU einsum per level against pooled
         # — and, for window-slicing impls, pre-padded — fmap2): the multi-GB
@@ -447,25 +576,37 @@ def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
             def lookup(coords):
                 return corr_lookup(pyramid, coords, radius, impl=impl)
 
+    if lookup_natural is None:
+        lookup_natural = lookup
+
     coords0 = coords_grid(B, H1, W1)
     coords1 = coords0 if flow_init is None else coords0 + flow_init
 
-    up_mask0 = (jnp.zeros((B, H1, W1, 64 * 9), jnp.float32)
-                if not cfg.small else None)
+    # hoist the loop-invariant context (`inp`) contribution to the GRU
+    # convs out of the 12x scan (exact by conv linearity, see _gru_gates);
+    # the convex-upsample mask convs move AFTER the scan — only the final
+    # iteration's mask is ever consumed (ref:weighted_raft.py:229-245 emits
+    # per-iteration upsamples only for training supervision, which our
+    # trainer does not use; tracker consumes the last)
+    pre = (None if cfg.small else
+           precompute_gru_context(params["update_block"]["gru"], inp, hdim))
 
     def step(carry, _):
-        net, coords1, _ = carry
+        net, coords1 = carry
         # per-iteration detach of the coordinate chain (ref:weighted_raft.py:229)
         coords1 = jax.lax.stop_gradient(coords1)
         corr_feat = lookup(coords1)
         flow = coords1 - coords0
-        net, up_mask, delta = update_block_apply(
-            params["update_block"], net, inp, corr_feat, flow, cfg.small)
-        return (net, coords1 + delta, up_mask), None
+        net, _, delta = update_block_apply(
+            params["update_block"], net, inp, corr_feat, flow, cfg.small,
+            pre=pre, with_mask=False)
+        return (net, coords1 + delta), None
 
-    (net, coords1, up_mask), _ = jax.lax.scan(
-        step, (net, coords1, up_mask0), None, length=iters)
+    (net, coords1), _ = jax.lax.scan(
+        step, (net, coords1), None, length=iters)
 
+    up_mask = (None if cfg.small
+               else mask_from_net(params["update_block"], net))
     flow = coords1 - coords0
     if up_mask is None:
         flow_up = upflow8(flow)
@@ -485,6 +626,15 @@ def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
         coords1_flat = coords1.reshape(H1 * W1, 2)
         mr_flat = mean_response.reshape(H1 * W1)
 
+        local_p = (cfg.corr_impl == "local" and not cfg.alternate_corr
+                   and local_vol.meta.get("layout") == "p")
+        if local_p:
+            # p-layout volumes have queries in lanes — scattered per-cell
+            # window reads would be lane gathers. One extra dense Pallas
+            # lookup at the final coords (~1 ms) + row select is exact
+            # and cheaper than any sparse formulation here.
+            corr_dense_flat = lookup_natural(coords1).reshape(H1 * W1, -1)
+
         def weight_head_at(cells):
             """cells: (M,) int32 flat 1/8-grid indices -> (M,) logits,
             bit-equal to the dense head at those cells."""
@@ -497,9 +647,12 @@ def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
                     f1_sub, f2c, c, radius, cfg.corr_levels,
                     chunk=min(cfg.alt_chunk, M))
             elif cfg.corr_impl == "local":
-                from .corr import corr_lookup_local_sparse
-                corr_f = corr_lookup_local_sparse(
-                    local_vol, coords1_flat[cells], cells, radius)
+                if local_p:
+                    corr_f = corr_dense_flat[cells]
+                else:
+                    from .corr import corr_lookup_local_sparse
+                    corr_f = corr_lookup_local_sparse(
+                        local_vol, coords1_flat[cells], cells, radius)
             else:
                 sub_pyr = [p[cells] for p in pyramid]     # (M, Hl, Wl)
                 if cfg.corr_impl == "pallas":
@@ -525,7 +678,7 @@ def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
         return out
 
     # weight head over the final lookup (ref:weighted_raft.py:258-290)
-    corr_final = lookup(coords1)                          # (B,H1,W1,L*k*k)
+    corr_final = lookup_natural(coords1)                  # (B,H1,W1,L*k*k)
     # the reference's rearrange splits channels as (H_patch, W_patch, levels)
     corr_sample = corr_final.reshape(B, H1, W1, k, k, cfg.corr_levels)
     weights = weight_head_apply(params["weight_head"], corr_sample,

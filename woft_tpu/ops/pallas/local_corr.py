@@ -23,7 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(sh, sw, wh, ww, nbw, scale):
+def _make_kernel(sh, sw, wh, ww, nbw, scale, p_major):
     def kernel(f1_ref, f2_ref, out_ref, win_scratch, sem):
         b = pl.program_id(0)
         by = b // nbw
@@ -39,10 +39,18 @@ def _make_kernel(sh, sw, wh, ww, nbw, scale):
         dma.wait()
         d = f1_ref.shape[-1]
         win = win_scratch[:].reshape(wh * ww, d)
-        corr = jax.lax.dot_general(
-            f1_ref[0], win,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (128, wh*ww)
+        if p_major:
+            # query-minor layout for the lookup kernel (local_lookup.py):
+            # queries land in the 128 VPU lanes downstream
+            corr = jax.lax.dot_general(
+                win, f1_ref[0],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (wh*ww, 128)
+        else:
+            corr = jax.lax.dot_general(
+                f1_ref[0], win,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (128, wh*ww)
         out_ref[0] = (corr * scale).astype(out_ref.dtype)
 
     return kernel
@@ -50,8 +58,9 @@ def _make_kernel(sh, sw, wh, ww, nbw, scale):
 
 @functools.partial(jax.jit,
                    static_argnames=("sh", "sw", "wh", "ww", "nbh", "nbw",
-                                    "out_dtype"))
-def block_local_corr(f1b, f2pad, sh, sw, wh, ww, nbh, nbw, out_dtype):
+                                    "out_dtype", "p_major"))
+def block_local_corr(f1b, f2pad, sh, sw, wh, ww, nbh, nbw, out_dtype,
+                     p_major=False):
     """corr[b, q, p] = <f1b[b, q], window_b.reshape(-1, D)[p]> * scale.
 
     Args:
@@ -59,23 +68,27 @@ def block_local_corr(f1b, f2pad, sh, sw, wh, ww, nbh, nbw, out_dtype):
         f2pad: (Hp, Wp, D) zero-padded (pooled) target features.
         sh, sw: block window stride; wh, ww: window size; nbh*nbw = nb.
         out_dtype: volume dtype.
+        p_major: emit (nb, wh*ww, BQ) instead (query-minor — the layout
+            the Pallas lookup kernel consumes; same matmul, swapped
+            operands, so no transpose exists anywhere).
     Returns:
-        (nb, BQ, wh*ww).
+        (nb, BQ, wh*ww), or (nb, wh*ww, BQ) when ``p_major``.
     """
     nb, bq, d = f1b.shape
     scale = 1.0 / math.sqrt(d)
+    out_shape = ((nb, wh * ww, bq) if p_major else (nb, bq, wh * ww))
 
     return pl.pallas_call(
-        _make_kernel(sh, sw, wh, ww, nbw, scale),
+        _make_kernel(sh, sw, wh, ww, nbw, scale, p_major),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((1, bq, wh * ww), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1,) + out_shape[1:], lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, bq, wh * ww), out_dtype),
+        out_shape=jax.ShapeDtypeStruct(out_shape, out_dtype),
         scratch_shapes=[
             pltpu.VMEM((wh, ww, d), f2pad.dtype),
             pltpu.SemaphoreType.DMA,
