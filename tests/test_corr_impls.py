@@ -268,8 +268,115 @@ def test_local_blocked_lookup_matches_onehot():
     with _interpret_pallas(plc, pll):
         vp = build_local_corr(f1, f2, radius=4, num_levels=3, margin=8,
                               use_pallas=True, layout="p")
-        out = np.asarray(corr_lookup_local(vp, coords, 4))
+        # fine=False: the full-slab kernel is exact for ANY per-query
+        # residual pattern (this test's +-7 px independent jitter exceeds
+        # the fine kernel's intra-block column-spread envelope by design)
+        out = np.asarray(corr_lookup_local(vp, coords, 4, fine=False))
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_fine_slab_lookup_matches_full_on_smooth_coords():
+    """The dynamic sub-window (fine-slab) kernel == the full-slab kernel
+    bit-for-bit while intra-block slab-start spread fits the fine window
+    (the tracker regime: post-prewarp residuals are smooth), including
+    window-edge saturated blocks."""
+    from woft_tpu.models.corr import (build_local_corr,
+                                      corr_lookup_local_blocked)
+    from woft_tpu.ops.pallas import local_corr as plc
+    from woft_tpu.ops.pallas import local_lookup as pll
+
+    rng = np.random.default_rng(10)
+    H1, W1, D = 16, 32, 64
+    f1 = jnp.asarray(rng.normal(size=(1, H1, W1, D)), jnp.float32)
+    f2 = jnp.asarray(rng.normal(size=(1, H1, W1, D)), jnp.float32)
+
+    ys, xs = np.meshgrid(np.arange(H1, dtype=np.float32),
+                         np.arange(W1, dtype=np.float32), indexing="ij")
+    grid = np.stack([xs, ys], -1)[None]
+    # smooth field: a global affine residual (up to ~6 px at the corners,
+    # intra-block gradient well inside the fine envelope)...
+    res = np.stack([0.15 * ys - 0.1 * xs + 2.3,
+                    0.12 * xs + 0.05 * ys - 3.1], -1)[None]
+    coords = grid + res.astype(np.float32)
+    # ...plus a far-out band exercising the stored-window saturation.
+    # The band covers the ENTIRE first block-row (blocks are 8 rows
+    # tall): uniformly saturated blocks are always exact under the fine
+    # kernel, while a mixed saturated/smooth block is genuinely beyond
+    # any fine envelope (spread ~ the whole stored window) — that regime
+    # is covered by the clamp-semantics test below.
+    coords[0, :8] += 400.0
+
+    with _interpret_pallas(plc, pll):
+        vp = build_local_corr(f1, f2, radius=4, num_levels=3, margin=8,
+                              use_pallas=True, layout="p")
+        full = np.asarray(
+            corr_lookup_local_blocked(vp, jnp.asarray(coords), 4,
+                                      fine=False).data)
+        fine = np.asarray(
+            corr_lookup_local_blocked(vp, jnp.asarray(coords), 4,
+                                      fine=True).data)
+    # same two nonzero blend terms on both paths; the 1e-6 slack is XLA
+    # CPU FMA contraction (different unrolled chain lengths -> different
+    # mul+add fusion), observed max 2.4e-7 — sub-ulp at the value scale
+    np.testing.assert_allclose(fine, full, atol=1e-6, rtol=0)
+
+
+def test_fine_slab_spread_overflow_clamps_to_fine_window():
+    """Beyond the intra-block spread envelope the fine kernel reads the
+    nearest covered slab start (per-axis clamp, bilinear frac preserved)
+    — verified against the full-slab kernel at analytically clamped
+    coords."""
+    from woft_tpu.models.corr import (build_local_corr,
+                                      corr_lookup_local_blocked)
+    from woft_tpu.ops.pallas import local_corr as plc
+    from woft_tpu.ops.pallas import local_lookup as pll
+
+    rng = np.random.default_rng(11)
+    H1, W1, D = 8, 16, 64          # one 8x16 block
+    radius, margin = 4, 8
+    f1 = jnp.asarray(rng.normal(size=(1, H1, W1, D)), jnp.float32)
+    f2 = jnp.asarray(rng.normal(size=(1, H1, W1, D)), jnp.float32)
+
+    ys, xs = np.meshgrid(np.arange(H1, dtype=np.float32),
+                         np.arange(W1, dtype=np.float32), indexing="ij")
+    grid = np.stack([xs, ys], -1)[None]
+    res = rng.uniform(-20.0, 20.0, grid.shape).astype(np.float32)
+    coords = jnp.asarray(grid + res)
+
+    with _interpret_pallas(plc, pll):
+        vp = build_local_corr(f1, f2, radius=radius, num_levels=1,
+                              margin=margin, use_pallas=True, layout="p")
+        fine = np.asarray(
+            corr_lookup_local_blocked(vp, coords, radius, fine=True).data)
+
+        # reconstruct the per-block fine anchors and clamp the coords the
+        # way _fine_anchor_weights does, then look THOSE up with the
+        # exact full-slab kernel
+        from woft_tpu.models.corr import _fine_extents
+        d = dict(vp.meta["levels"][0])
+        wh, ww, pad = d["wh"], d["ww"], d["pad"]
+        fr, fc = _fine_extents(d, 2 * radius + 1)
+        c = np.asarray(coords).reshape(H1 * W1, 2) + pad
+        c = np.stack([np.clip(c[:, 0], radius, ww - radius - 1.001),
+                      np.clip(c[:, 1], radius, wh - radius - 1.001)], -1)
+
+        def clamp_axis(v, size, fine_n, align):
+            s0 = np.floor(v).astype(np.int64) - radius
+            frac = v - np.floor(v)
+            nf = fine_n - 2 * radius
+            anchor = s0.min()
+            if align > 1:
+                anchor = anchor // align * align
+            anchor = np.clip(anchor, 0, max(size - fine_n, 0))
+            rel = np.clip(s0 - anchor, 0, nf - 2)
+            return (rel + anchor + radius + frac).astype(np.float32)
+
+        cc = np.stack([clamp_axis(c[:, 0], ww, fc, 8),
+                       clamp_axis(c[:, 1], wh, fr, 1)], -1)
+        cc = jnp.asarray((cc - pad).reshape(1, H1, W1, 2))
+        want = np.asarray(
+            corr_lookup_local_blocked(vp, cc, radius, fine=False).data)
+    np.testing.assert_allclose(fine, want, atol=2e-5, rtol=1e-5)
 
 
 def test_local_pallas_forward_matches_dense():

@@ -40,16 +40,22 @@ def timed_loop(name, body, carry, n=LOOP):
     """body: carry -> carry (data-dependent). Prints per-iter ms."""
     @jax.jit
     def loop(c):
-        return lax.scan(lambda c, _: (body(c), None), c, None, length=n)[0]
+        out = lax.scan(lambda c, _: (body(c), None), c, None, length=n)[0]
+        # reduce to ONE scalar on device: fetching a full carry through
+        # the tunnel costs ~100+ ms and used to dominate the measurement
+        return jax.tree.leaves(out)[0].ravel()[0]
 
     t0 = time.perf_counter()
-    out = loop(carry)
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    np.asarray(loop(carry))
     compile_s = time.perf_counter() - t0
 
+    # post-compile autotune through the tunnel makes the next 1-2
+    # executions up to ~100x slower (CLAUDE.md) — warm 3 before timing
+    for _ in range(3):
+        np.asarray(loop(carry))
+
     t0 = time.perf_counter()
-    out = loop(carry)
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    np.asarray(loop(carry))
     total = time.perf_counter() - t0
     print(f"{name:36s} {1000 * total / n:9.2f} ms/iter"
           f"   (compile+1st {compile_s:.1f}s)", flush=True)
@@ -321,6 +327,29 @@ def bench_local_lookup():
 
     timed_loop("lookup local (block volumes)", body,
                (coords, tuple(vol.volumes)), n=4)
+
+    from woft_tpu.models.corr import corr_lookup_local_blocked
+    volp = build_local_corr(f1, f2, out_dtype=jnp.bfloat16, layout="p",
+                            use_pallas=True)
+    metap = volp.meta
+
+    def body_pk(c):
+        coords, vols = c
+        out = corr_lookup_local_blocked(
+            LocalCorrVolumes(list(vols), metap), coords, 4)
+        return (dep(coords, out.data.mean()), vols)
+
+    timed_loop("lookup p-layout (slab kernel only)", body_pk,
+               (coords, tuple(volp.volumes)), n=4)
+
+    def body_pn(c):
+        coords, vols = c
+        out = corr_lookup_local(LocalCorrVolumes(list(vols), metap),
+                                coords, 4)
+        return (dep(coords, out.mean()), vols)
+
+    timed_loop("lookup p-layout (natural = +transpose)", body_pn,
+               (coords, tuple(volp.volumes)), n=4)
 
     def body_build(c):
         f1, f2 = c

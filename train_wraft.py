@@ -210,8 +210,17 @@ def main():
         batch["key"] = mkey
         params, opt_state, loss = step(params, opt_state, prep(batch))
         if i % args.log_every == 0:
-            logger.info("step %d  loss %.4f  (%.2f s/step)", i, float(loss),
+            loss_f = float(loss)
+            logger.info("step %d  loss %.4f  (%.2f s/step)", i, loss_f,
                         (time.time() - t0) / max(i, 1))
+            if not np.isfinite(loss_f):
+                # params are already poisoned (the forward itself is
+                # non-finite) — halting preserves the last good rolling
+                # checkpoint instead of overwriting it (r3 lesson: a
+                # diverged run saved nan weights at the next ckpt_every)
+                logger.error("non-finite loss at step %d — halting; last "
+                             "rolling checkpoint is the survivor", i)
+                return 1
         if args.val_every and i % args.val_every == 0:
             logger.info("step %d  val EPE %.3f px", i, float(val_epe(params)))
         if args.ckpt_every and i and i % args.ckpt_every == 0:

@@ -578,11 +578,56 @@ def _slab_weights(c, size, radius):
             + (ids == s0 + 1).astype(f32) * frac)
 
 
-def corr_lookup_local_blocked(local, coords, radius=4):
+def _fine_anchor_weights(c, size, radius, fine, align=1):
+    """Per-block fine-window anchor + relative two-hot weights, one axis.
+
+    c: (NB, BQ) clamped window-local coords. Returns (anchor (NB,) s32 —
+    a multiple of ``align`` — and (NB, fine - 2*radius, BQ) f32 weights
+    relative to it). Starts landing outside the fine range are clamped to
+    its edge — window-edge saturation semantics, relative to the block's
+    own fine window (see ops/pallas/local_lookup.py
+    block_local_lookup_fine)."""
+    f32 = jnp.float32
+    c0 = jnp.floor(c)
+    frac = (c - c0).astype(f32)
+    s0 = c0.astype(jnp.int32) - radius                 # slab start, per q
+    nf = fine - 2 * radius                             # fine start count
+    anchor = jnp.min(s0, axis=1)
+    if align > 1:
+        anchor = (anchor // align) * align
+    anchor = jnp.clip(anchor, 0, max(size - fine, 0))
+    rel = jnp.clip(s0 - anchor[:, None], 0, nf - 2)
+    ids = jnp.arange(nf, dtype=jnp.int32)[None, :, None]
+    rel = rel[:, None, :]
+    frac = frac[:, None, :]
+    w = ((ids == rel).astype(f32) * (1.0 - frac)
+         + (ids == rel + 1).astype(f32) * frac)
+    return anchor, w
+
+
+def _fine_extents(d, k):
+    """Fine sub-window extents covering one block's smooth-field footprint.
+
+    Rows: the block's query-row span at this level (sh) + the k-wide
+    window + 8 rows of intra-block residual slack. Columns: same + 7 for
+    the 8-aligned anchor quantization, rounded up to the Mosaic sublane
+    tile (ww is tile-aligned by construction, so clip-to-[0, ww-fc]
+    anchors stay 8-aligned). Uniformly saturated blocks always fit: the
+    window-edge slab start lands at rel = nf-2 regardless of extent."""
+    fr = min(d["wh"], d["sh"] + k - 1 + 8)
+    fc = min(d["ww"], -8 * (-(d["sw"] + k - 1 + 8 + 7) // 8))
+    return fr, fc
+
+
+def corr_lookup_local_blocked(local, coords, radius=4, fine=True):
     """Pallas slab lookup -> BlockedCorr (requires layout='p' volumes).
 
-    coords: (1, H1, W1, 2) level-0 centroids in natural raster order."""
-    from ..ops.pallas.local_lookup import block_local_lookup
+    coords: (1, H1, W1, 2) level-0 centroids in natural raster order.
+    ``fine``: use the dynamic sub-window kernel (~4x fewer VPU FLOPs at
+    margin 16; exact while each block's intra-block slab-start spread
+    fits its fine window — see _fine_extents/block_local_lookup_fine)."""
+    from ..ops.pallas.local_lookup import (block_local_lookup,
+                                           block_local_lookup_fine)
 
     meta = local.meta
     assert meta.get("layout") == "p", "blocked lookup needs p-layout volumes"
@@ -595,21 +640,32 @@ def corr_lookup_local_blocked(local, coords, radius=4):
     outs = []
     for vol, (d, c) in zip(local.volumes,
                            _local_level_coords(local, cb, radius)):
-        wy = _slab_weights(c[..., 1], d["wh"], radius)     # (NB, n_s, BQ)
-        wx = _slab_weights(c[..., 0], d["ww"], radius)     # (NB, n_t, BQ)
-        outs.append(block_local_lookup(vol, wy, wx, k))    # (NB, k*k, BQ)
+        if fine:
+            fr, fc = _fine_extents(d, k)
+            r0, wyf = _fine_anchor_weights(c[..., 1], d["wh"], radius, fr)
+            c0, wxf = _fine_anchor_weights(c[..., 0], d["ww"], radius, fc,
+                                           align=8)
+            rc0 = jnp.stack([r0, c0], -1)              # (NB, 2) s32
+            outs.append(block_local_lookup_fine(rc0, vol, wyf, wxf,
+                                                k, fr, fc))
+        else:
+            wy = _slab_weights(c[..., 1], d["wh"], radius)  # (NB, n_s, BQ)
+            wx = _slab_weights(c[..., 0], d["ww"], radius)  # (NB, n_t, BQ)
+            outs.append(block_local_lookup(vol, wy, wx, k))
     data = jnp.concatenate(outs, axis=1)                   # (NB, L*k*k, BQ)
     return BlockedCorr(data, meta, len(local.volumes), k)
 
 
-def corr_lookup_local(local, coords, radius=4):
+def corr_lookup_local(local, coords, radius=4, fine=True):
     """Window lookup against LocalCorrVolumes (torch channel order).
 
     coords: (1, H1, W1, 2) level-0 centroids in natural raster order.
-    Returns (1, H1, W1, L*(2r+1)^2)."""
+    Returns (1, H1, W1, L*(2r+1)^2). ``fine`` only affects p-layout
+    volumes (see corr_lookup_local_blocked)."""
     meta = local.meta
     if meta.get("layout") == "p":
-        return corr_lookup_local_blocked(local, coords, radius).to_natural()
+        return corr_lookup_local_blocked(local, coords, radius,
+                                         fine=fine).to_natural()
 
     H1, W1 = meta["H1"], meta["W1"]
     nbh, nbw, bh, bw = meta["nbh"], meta["nbw"], meta["bh"], meta["bw"]

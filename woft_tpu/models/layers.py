@@ -44,7 +44,7 @@ def get_compute_dtype():
     return _COMPUTE_DTYPE
 
 
-def conv2d(p, x, stride=1, padding=0, dtype=None):
+def conv2d(p, x, stride=1, padding=0, dtype=None, out_dtype=None):
     """2-D convolution, torch-compatible explicit padding.
 
     Args:
@@ -52,6 +52,12 @@ def conv2d(p, x, stride=1, padding=0, dtype=None):
         x: (N, H, W, Cin).
         stride: int or (sh, sw).
         padding: int or (ph, pw) zero padding on both sides.
+        out_dtype: optional storage dtype for the result. Accumulation is
+            always f32; passing bf16 here only rounds the STORED
+            activation (the convert fuses into the conv epilogue), which
+            halves HBM traffic for every consumer — the encoder uses it
+            in bf16 mode, where activation reads/writes, not FLOPs,
+            dominate its cost on TPU.
     """
     if isinstance(stride, int):
         stride = (stride, stride)
@@ -80,14 +86,21 @@ def conv2d(p, x, stride=1, padding=0, dtype=None):
             preferred_element_type=jnp.float32)
     if "bias" in p and p["bias"] is not None:
         out = out + p["bias"].astype(out.dtype)
+    if out_dtype is not None:
+        out = out.astype(out_dtype)
     return out
 
 
 def instance_norm(x, eps=1e-5):
-    """torch InstanceNorm2d(affine=False) twin: per-(n, c) spatial stats."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    """torch InstanceNorm2d(affine=False) twin: per-(n, c) spatial stats.
+
+    Statistics always accumulate in f32 (the convert fuses into the
+    reduction); the output keeps the input's dtype so bf16 encoder
+    activations stay bf16 through the norm."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2), keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def batch_norm_eval(p, x, eps=1e-5):
@@ -95,18 +108,18 @@ def batch_norm_eval(p, x, eps=1e-5):
     rm = p["running_mean"]
     rv = p["running_var"]
     scale = p["weight"] * jax.lax.rsqrt(rv + eps)
-    return x * scale + (p["bias"] - rm * scale)
+    return (x * scale + (p["bias"] - rm * scale)).astype(x.dtype)
 
 
 def group_norm(p, x, num_groups, eps=1e-5):
     """torch GroupNorm twin (affine)."""
     N, H, W, C = x.shape
-    g = x.reshape(N, H, W, num_groups, C // num_groups)
+    g = x.reshape(N, H, W, num_groups, C // num_groups).astype(jnp.float32)
     mean = jnp.mean(g, axis=(1, 2, 4), keepdims=True)
     var = jnp.var(g, axis=(1, 2, 4), keepdims=True)
     g = (g - mean) * jax.lax.rsqrt(var + eps)
-    x = g.reshape(N, H, W, C)
-    return x * p["weight"] + p["bias"]
+    y = g.reshape(N, H, W, C) * p["weight"] + p["bias"]
+    return y.astype(x.dtype)
 
 
 def apply_norm(p, x, norm_fn, num_groups=None):

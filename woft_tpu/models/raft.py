@@ -90,43 +90,52 @@ class RaftConfig:
 # encoders (ref:raft_core/extractor.py)
 # ---------------------------------------------------------------------------
 
-def _residual_block(p, x, norm_fn, stride):
-    """ref:extractor.py:6-56."""
+def _residual_block(p, x, norm_fn, stride, sd=None):
+    """ref:extractor.py:6-56. ``sd``: activation storage dtype (bf16 mode
+    stores encoder activations bf16 — f32 accumulation everywhere; halves
+    the HBM traffic that dominates encoder cost at 1080p)."""
     planes = p["conv1"]["weight"].shape[-1]
     ng = planes // 8
     y = layers.relu(layers.apply_norm(p.get("norm1", {}),
                                       layers.conv2d(p["conv1"], x,
+                                                    out_dtype=sd,
                                                     stride=stride, padding=1),
                                       norm_fn, ng))
     y = layers.relu(layers.apply_norm(p.get("norm2", {}),
-                                      layers.conv2d(p["conv2"], y, padding=1),
+                                      layers.conv2d(p["conv2"], y, padding=1,
+                                                    out_dtype=sd),
                                       norm_fn, ng))
     if stride != 1:
         ds = p["downsample"]
         x = layers.apply_norm(ds.get("1", {}),
-                              layers.conv2d(ds["0"], x, stride=stride),
+                              layers.conv2d(ds["0"], x, stride=stride,
+                                            out_dtype=sd),
                               norm_fn, ng)
     return layers.relu(x + y)
 
 
-def _bottleneck_block(p, x, norm_fn, stride):
+def _bottleneck_block(p, x, norm_fn, stride, sd=None):
     """ref:extractor.py:60-116."""
     planes = p["conv3"]["weight"].shape[-1]
     ng = planes // 8
     y = layers.relu(layers.apply_norm(p.get("norm1", {}),
-                                      layers.conv2d(p["conv1"], x),
+                                      layers.conv2d(p["conv1"], x,
+                                                    out_dtype=sd),
                                       norm_fn, ng))
     y = layers.relu(layers.apply_norm(p.get("norm2", {}),
                                       layers.conv2d(p["conv2"], y,
-                                                    stride=stride, padding=1),
+                                                    stride=stride, padding=1,
+                                                    out_dtype=sd),
                                       norm_fn, ng))
     y = layers.relu(layers.apply_norm(p.get("norm3", {}),
-                                      layers.conv2d(p["conv3"], y),
+                                      layers.conv2d(p["conv3"], y,
+                                                    out_dtype=sd),
                                       norm_fn, ng))
     if stride != 1:
         ds = p["downsample"]
         x = layers.apply_norm(ds.get("1", {}),
-                              layers.conv2d(ds["0"], x, stride=stride),
+                              layers.conv2d(ds["0"], x, stride=stride,
+                                            out_dtype=sd),
                               norm_fn, ng)
     return layers.relu(x + y)
 
@@ -137,13 +146,14 @@ def encoder_apply(p, x, norm_fn, small=False):
     x: (N, H, W, 3) in [-1, 1] -> (N, H/8, W/8, output_dim)."""
     block = _bottleneck_block if small else _residual_block
     first_ch = 32 if small else 64
-    x = layers.conv2d(p["conv1"], x, stride=2, padding=3)
+    sd = layers.get_compute_dtype()      # bf16 activation storage in bf16 mode
+    x = layers.conv2d(p["conv1"], x, stride=2, padding=3, out_dtype=sd)
     x = layers.apply_norm(p.get("norm1", {}), x, norm_fn, 8 if norm_fn == "group" else first_ch)
     x = layers.relu(x)
     for layer_name, stride in (("layer1", 1), ("layer2", 2), ("layer3", 2)):
         lp = p[layer_name]
-        x = block(lp["0"], x, norm_fn, stride)
-        x = block(lp["1"], x, norm_fn, 1)
+        x = block(lp["0"], x, norm_fn, stride, sd)
+        x = block(lp["1"], x, norm_fn, 1, sd)
     return layers.conv2d(p["conv2"], x)
 
 
@@ -359,14 +369,23 @@ def convex_upsample(flow, mask, mul=8.0):
     ``mul`` scales the values (8 for flow; callers divide by 8 for weights,
     ref:weighted_raft.py:284-290)."""
     B, H, W, C = flow.shape
-    m = jax.nn.softmax(mask.reshape(B, H, W, 9, 8, 8), axis=3)
+    # keep the 64 subpixels in the MINOR (lane) dim through the whole
+    # chain: mask (…, 9*64) splits to (…, 9, 64) as a bitcast, softmax
+    # reduces over sublanes, and the contraction emits (…, 64, C).
+    # Splitting 64 -> (8, 8) mid-chain instead (the old "->bhfwgc"
+    # einsum) forced XLA to relayout the 75 MB softmax output and
+    # materialize two more 75 MB transposes — 5.2 ms of a 1080p frame
+    # for a 75 MFLOP op; this form moves ~100 MB total (same products,
+    # same p-contraction order, bit-identical result).
+    m = jax.nn.softmax(mask.reshape(B, H, W, 9, 64), axis=3)
 
     fp = jnp.pad(flow * mul, ((0, 0), (1, 1), (1, 1), (0, 0)))
     patches = jnp.stack([fp[:, ky:ky + H, kx:kx + W, :]
                          for ky in range(3) for kx in range(3)],
                         axis=3)                                   # (B,H,W,9,C)
-    up = jnp.einsum("bhwpc,bhwpfg->bhfwgc", patches, m,
-                    precision=jax.lax.Precision.HIGHEST)
+    up = jnp.einsum("bhwpk,bhwpc->bhwkc", m, patches,
+                    precision=jax.lax.Precision.HIGHEST)          # (B,H,W,64,C)
+    up = up.reshape(B, H, W, 8, 8, C).transpose(0, 1, 3, 2, 4, 5)
     return up.reshape(B, 8 * H, 8 * W, C)
 
 

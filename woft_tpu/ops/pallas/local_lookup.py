@@ -67,6 +67,98 @@ def _make_kernel(wh, ww, k):
     return kernel
 
 
+def _make_fine_kernel(wh, ww, fr, fc, k, dtype):
+    nsf = fr - k + 1
+    ntf = fc - k + 1
+
+    def kernel(rc_ref, vol_ref, wyf_ref, wxf_ref, out_ref, win, sem):
+        b = pl.program_id(0)
+        r0 = rc_ref[b, 0]
+        # column anchors are built 8-aligned (corr._fine_anchor_weights);
+        # the hint lets Mosaic prove the sublane-dim offset rule
+        c0 = pl.multiple_of(rc_ref[b, 1], 8)
+        cp = pltpu.make_async_copy(
+            vol_ref.at[b, pl.ds(r0, fr), pl.ds(c0, fc), :], win, sem)
+        cp.start()
+        cp.wait()
+        f32 = jnp.float32
+        v = win[:]
+        acc1 = v[0:k].astype(f32) * wyf_ref[0, 0][None, None, :]
+        for s in range(1, nsf):
+            acc1 = acc1 + (v[s:s + k].astype(f32)
+                           * wyf_ref[0, s][None, None, :])
+        acc2 = acc1[:, 0:k, :] * wxf_ref[0, 0][None, None, :]
+        for t in range(1, ntf):
+            acc2 = acc2 + acc1[:, t:t + k, :] * wxf_ref[0, t][None, None, :]
+        out_ref[0] = acc2.reshape(k * k, v.shape[-1])
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "fr", "fc"))
+def block_local_lookup_fine(rc0, vol, wyf, wxf, k, fr, fc):
+    """Fine-slab bilinear window lookup: dynamic sub-window DMA.
+
+    The full-slab kernel (`block_local_lookup`) blends over EVERY possible
+    slab start in the stored window — n_s = wh-k+1 (42 at margin 16) VPU
+    terms per block, of which a two-hot weight uses exactly 2. This
+    variant exploits that queries within one block are spatially adjacent
+    (8x16 neighbouring cells of a smooth flow field): a per-block anchor
+    (r0, c0) — row arbitrary, column 8-aligned for the Mosaic sublane
+    rule — positions an (fr, fc) sub-window (24x24 default) that covers
+    every query's bilinear footprint, and only fr-k+1 (16) starts are
+    blended over fc (24) columns: ~11x fewer VPU FLOPs and ~5.6x less
+    HBM read than the full slab, independent of the stored margin.
+
+    Exactness: identical to the full slab whenever each query's slab
+    start falls inside the fine range — i.e. intra-block start spread
+    <= fr-k-1 rows / (fc-k-1 minus alignment loss) columns. Callers clamp
+    relative starts into range (corr._fine_slab_weights), which reproduces
+    the stored-window-edge saturation semantics, now relative to the
+    block's own fine window (ref:alt_cuda_corr/correlation_kernel.cu
+    fwd clamping behavior).
+
+    Args:
+        rc0: (nb, 2) int32 [r0, c0] per block; c0 multiple of 8.
+        vol: (nb, wh, ww, bq) stored p-layout volume (stays in HBM; the
+            kernel DMAs only its fine sub-window).
+        wyf: (nb, fr-k+1, bq) f32 two-hot weights relative to r0.
+        wxf: (nb, fc-k+1, bq) f32, relative to c0.
+        k: window size; fr, fc: fine sub-window extent (<= wh/ww).
+    Returns:
+        (nb, k*k, bq) f32, channel order c = j*k + i (y-major).
+    """
+    nb, wh, ww, bq = vol.shape
+    nsf = fr - k + 1
+    ntf = fc - k + 1
+    assert fr <= wh and fc <= ww, (fr, fc, wh, ww)
+    assert wyf.shape == (nb, nsf, bq), (wyf.shape, (nb, nsf, bq))
+    assert wxf.shape == (nb, ntf, bq), (wxf.shape, (nb, ntf, bq))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, nsf, bq), lambda b, rc: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ntf, bq), lambda b, rc: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k * k, bq), lambda b, rc: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((fr, fc, bq), vol.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _make_fine_kernel(wh, ww, fr, fc, k, vol.dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, k * k, bq), jnp.float32),
+    )(rc0, vol, wyf, wxf)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def block_local_lookup(vol, wy, wx, k):
     """Bilinear window lookup against a query-minor block-local volume.

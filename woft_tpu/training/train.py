@@ -163,8 +163,12 @@ def make_optimizer(params, tcfg: TrainConfig):
         {"trainable": train_tx, "frozen": optax.set_to_zero()},
         _trainable_mask(params, tcfg.train_flow))
     # skip (don't apply) any update with non-finite grads instead of
-    # poisoning the params — one bad batch must not end a long run
-    return optax.apply_if_finite(tx, max_consecutive_errors=100)
+    # poisoning the params — one bad batch must not end a long run.
+    # max_consecutive_errors must be effectively infinite: optax APPLIES
+    # the non-finite update once the count is exceeded, and a diverging
+    # run (observed r3: val EPE 5 -> 20 -> nan in 600 steps) emits
+    # hundreds of consecutive bad steps before anyone looks at the log.
+    return optax.apply_if_finite(tx, max_consecutive_errors=1_000_000_000)
 
 
 def init_train_state(params, tcfg: TrainConfig):
