@@ -238,6 +238,10 @@ def main():
                     help="native orbax checkpoint dir (default: the flow "
                          "config's preferred checkpoint)")
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--h-out", default=None,
+                    help="prefix: dump both H trajectories as "
+                         "{prefix}_ours.npz / {prefix}_ref.npz "
+                         "(demo homographies.npz layout)")
     ap.add_argument("--no-subsample", action="store_true",
                     help="fit on all valid TCs (both sides): measures the "
                          "systematic disagreement without Sobol "
@@ -308,6 +312,11 @@ def main():
     print(json.dumps(result))
     if args.json_out:
         Path(args.json_out).write_text(json.dumps(result, indent=2))
+    if args.h_out:
+        # same layout as WOFT_demo --out homographies.npz (H[i] = the
+        # (i+2)-th demo file): scoreable by tools/realdata_eval.py
+        np.savez(args.h_out + "_ours.npz", H=np.stack(hs_ours))
+        np.savez(args.h_out + "_ref.npz", H=np.stack(hs_ref))
     return 0
 
 

@@ -32,11 +32,12 @@ def score(npz_path, labels):
         fi = int(fname)
         if fi == 1:
             continue
-        # demo frame k (1-based file names) -> hs[k-1]
-        if fi - 1 >= len(hs):
+        # demo files are 1-based (00000001.jpg is the INIT frame, which
+        # gets no tracked H): file k -> hs[k-2]
+        if fi - 2 >= len(hs):
             rows.append((fi, None))
             continue
-        H = hs[fi - 1]
+        H = hs[fi - 2]
         proj = np.linalg.inv(H) @ pts1
         proj = (proj[:2] / proj[2:]).T
         err = float(np.mean(np.linalg.norm(

@@ -625,9 +625,11 @@ def corr_lookup_local_blocked(local, coords, radius=4, fine=True):
     coords: (1, H1, W1, 2) level-0 centroids in natural raster order.
     ``fine``: use the dynamic sub-window kernel (~4x fewer VPU FLOPs at
     margin 16; exact while each block's intra-block slab-start spread
-    fits its fine window — see _fine_extents/block_local_lookup_fine)."""
+    fits its fine window — see _fine_extents/block_local_lookup_fine).
+    All levels run in ONE kernel launch (block_local_lookup_fine_multi):
+    per-block grid/DMA overhead is paid once, not per level."""
     from ..ops.pallas.local_lookup import (block_local_lookup,
-                                           block_local_lookup_fine)
+                                           block_local_lookup_fine_multi)
 
     meta = local.meta
     assert meta.get("layout") == "p", "blocked lookup needs p-layout volumes"
@@ -637,21 +639,32 @@ def corr_lookup_local_blocked(local, coords, radius=4, fine=True):
     k = 2 * radius + 1
 
     cb = _to_blocked(coords.reshape(H1 * W1, 2), meta).reshape(nb, bq, 2)
-    outs = []
-    for vol, (d, c) in zip(local.volumes,
-                           _local_level_coords(local, cb, radius)):
-        if fine:
+    if fine:
+        rcs, wyfs, wxfs, exts = [], [], [], []
+        for vol, (d, c) in zip(local.volumes,
+                               _local_level_coords(local, cb, radius)):
             fr, fc = _fine_extents(d, k)
             r0, wyf = _fine_anchor_weights(c[..., 1], d["wh"], radius, fr)
             c0, wxf = _fine_anchor_weights(c[..., 0], d["ww"], radius, fc,
                                            align=8)
-            rc0 = jnp.stack([r0, c0], -1)              # (NB, 2) s32
-            outs.append(block_local_lookup_fine(rc0, vol, wyf, wxf,
-                                                k, fr, fc))
-        else:
-            wy = _slab_weights(c[..., 1], d["wh"], radius)  # (NB, n_s, BQ)
-            wx = _slab_weights(c[..., 0], d["ww"], radius)  # (NB, n_t, BQ)
-            outs.append(block_local_lookup(vol, wy, wx, k))
+            rcs.append(jnp.stack([r0, c0], -1))
+            wyfs.append(wyf)
+            wxfs.append(wxf)
+            exts.append((fr, fc))
+        # bf16 volumes (bf16 mode) -> bf16-stored lookups: accumulation
+        # stays f32 in-kernel; the motion encoder reads them bf16 anyway
+        od = (local.volumes[0].dtype
+              if local.volumes[0].dtype == jnp.bfloat16 else None)
+        data = block_local_lookup_fine_multi(
+            jnp.stack(rcs, 1), list(local.volumes), wyfs, wxfs, k,
+            tuple(exts), out_dtype=od)
+        return BlockedCorr(data, meta, len(local.volumes), k)
+    outs = []
+    for vol, (d, c) in zip(local.volumes,
+                           _local_level_coords(local, cb, radius)):
+        wy = _slab_weights(c[..., 1], d["wh"], radius)     # (NB, n_s, BQ)
+        wx = _slab_weights(c[..., 0], d["ww"], radius)     # (NB, n_t, BQ)
+        outs.append(block_local_lookup(vol, wy, wx, k))
     data = jnp.concatenate(outs, axis=1)                   # (NB, L*k*k, BQ)
     return BlockedCorr(data, meta, len(local.volumes), k)
 

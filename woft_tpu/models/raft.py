@@ -162,9 +162,9 @@ def encoder_apply(p, x, norm_fn, small=False):
 # ---------------------------------------------------------------------------
 
 def _flow_head(p, x):
-    return layers.conv2d(p["conv2"],
-                         layers.relu(layers.conv2d(p["conv1"], x, padding=1)),
-                         padding=1)
+    h = layers.relu(layers.conv2d(p["conv1"], x, padding=1,
+                                  out_dtype=layers.get_compute_dtype()))
+    return layers.conv2d(p["conv2"], h, padding=1)   # delta stays f32
 
 
 def _corr_conv1(pc, corr):
@@ -197,6 +197,10 @@ def _corr_conv1(pc, corr):
                      precision=layers.get_precision(),
                      preferred_element_type=jnp.float32)
     out = out + pc["bias"].astype(out.dtype)
+    if cd is not None:
+        # cast BEFORE the blocked->natural relayout so the transpose
+        # moves half the bytes (runs 12x per frame in the GRU loop)
+        out = out.astype(cd)
     nb, _, bq = corr.data.shape
     out = _from_blocked(out.reshape(nb * bq, co), corr.meta)
     meta = corr.meta
@@ -204,26 +208,34 @@ def _corr_conv1(pc, corr):
 
 
 def _basic_motion_encoder(p, flow, corr):
-    """ref:update.py:79-97."""
+    """ref:update.py:79-97. Intermediates store in the compute dtype in
+    bf16 mode (f32 accumulation in every conv; see layers.conv2d)."""
+    sd = layers.get_compute_dtype()
     cor = _corr_conv1(p["convc1"], corr)
-    cor = layers.relu(layers.conv2d(p["convc2"], cor, padding=1))
-    flo = layers.relu(layers.conv2d(p["convf1"], flow, padding=3))
-    flo = layers.relu(layers.conv2d(p["convf2"], flo, padding=1))
+    cor = layers.relu(layers.conv2d(p["convc2"], cor, padding=1,
+                                    out_dtype=sd))
+    flo = layers.relu(layers.conv2d(p["convf1"], flow, padding=3,
+                                    out_dtype=sd))
+    flo = layers.relu(layers.conv2d(p["convf2"], flo, padding=1,
+                                    out_dtype=sd))
     out = layers.relu(layers.conv2d(p["conv"],
                                     jnp.concatenate([cor, flo], -1),
-                                    padding=1))
-    return jnp.concatenate([out, flow], -1)
+                                    padding=1, out_dtype=sd))
+    return jnp.concatenate([out, flow.astype(out.dtype)], -1)
 
 
 def _small_motion_encoder(p, flow, corr):
     """ref:update.py:62-77."""
+    sd = layers.get_compute_dtype()
     cor = _corr_conv1(p["convc1"], corr)
-    flo = layers.relu(layers.conv2d(p["convf1"], flow, padding=3))
-    flo = layers.relu(layers.conv2d(p["convf2"], flo, padding=1))
+    flo = layers.relu(layers.conv2d(p["convf1"], flow, padding=3,
+                                    out_dtype=sd))
+    flo = layers.relu(layers.conv2d(p["convf2"], flo, padding=1,
+                                    out_dtype=sd))
     out = layers.relu(layers.conv2d(p["conv"],
                                     jnp.concatenate([cor, flo], -1),
-                                    padding=1))
-    return jnp.concatenate([out, flow], -1)
+                                    padding=1, out_dtype=sd))
+    return jnp.concatenate([out, flow.astype(out.dtype)], -1)
 
 
 def _gru_gates(pz, pr, pq, h, x, pad, pre=None):
@@ -236,7 +248,9 @@ def _gru_gates(pz, pr, pq, h, x, pad, pre=None):
     and a convolution is linear in its input channels, so splitting
     conv([h, inp, motion]) = conv_hm([h, motion]) + conv_inp(inp) is exact
     and removes a third of the recurrent convs' FLOPs from the 12x loop."""
-    hx = jnp.concatenate([h, x], -1)
+    sd = layers.get_compute_dtype()
+    hx = jnp.concatenate([h.astype(x.dtype) if sd is not None else h, x],
+                         -1)
     # z and r read the same input: run them as ONE conv with concatenated
     # output channels (numerically identical per-channel — each output
     # channel is an independent reduction; halves the GRU's kernel count
@@ -254,17 +268,20 @@ def _gru_gates(pz, pr, pq, h, x, pad, pre=None):
     zr = layers.conv2d(
         {"weight": jnp.concatenate([wz, wr], axis=-1),
          "bias": jnp.concatenate([pz["bias"], pr["bias"]], axis=-1)},
-        hx, padding=pad)
+        hx, padding=pad, out_dtype=sd)
     if pre is not None:
-        zr = zr + pre[0]
+        zr = zr + pre[0].astype(zr.dtype)
     C = pz["weight"].shape[-1]
     z = jax.nn.sigmoid(zr[..., :C])
     r = jax.nn.sigmoid(zr[..., C:])
     q = layers.conv2d({"weight": wq, "bias": pq["bias"]},
-                      jnp.concatenate([r * h, x], -1), padding=pad)
+                      jnp.concatenate([(r * h).astype(hx.dtype), x], -1),
+                      padding=pad, out_dtype=sd)
     if pre is not None:
-        q = q + pre[1]
+        q = q + pre[1].astype(q.dtype)
     q = jnp.tanh(q)
+    # the recurrent state stays f32: z/q gate values are bf16-stored in
+    # bf16 mode, but the convex combination accumulates at carry precision
     return (1 - z) * h + z * q
 
 
@@ -293,11 +310,13 @@ def precompute_gru_context(p, inp, hd):
                                    (0, 2)),
                                   ("d2", "convz2", "convr2", "convq2",
                                    (2, 0))):
+        sd = layers.get_compute_dtype()
         wzr = jnp.concatenate([ctx(p[kz]["weight"]),
                                ctx(p[kr]["weight"])], axis=-1)
-        zr_pre = layers.conv2d({"weight": wzr}, inp, padding=pad)
+        zr_pre = layers.conv2d({"weight": wzr}, inp, padding=pad,
+                               out_dtype=sd)
         q_pre = layers.conv2d({"weight": ctx(p[kq]["weight"])}, inp,
-                              padding=pad)
+                              padding=pad, out_dtype=sd)
         out[name] = (zr_pre, q_pre)
     return out
 
@@ -339,7 +358,7 @@ def update_block_apply(p, net, inp, corr, flow, small=False, pre=None,
                                     mh["0"]["weight"]], axis=-1),
          "bias": jnp.concatenate([fh["conv1"]["bias"],
                                   mh["0"]["bias"]], axis=-1)},
-        net, padding=1)
+        net, padding=1, out_dtype=layers.get_compute_dtype())
     Cf = fh["conv1"]["weight"].shape[-1]
     delta = layers.conv2d(fh["conv2"], layers.relu(c1[..., :Cf]),
                           padding=1)

@@ -73,16 +73,34 @@ def _make_fine_kernel(wh, ww, fr, fc, k, dtype):
 
     def kernel(rc_ref, vol_ref, wyf_ref, wxf_ref, out_ref, win, sem):
         b = pl.program_id(0)
-        r0 = rc_ref[b, 0]
-        # column anchors are built 8-aligned (corr._fine_anchor_weights);
-        # the hint lets Mosaic prove the sublane-dim offset rule
-        c0 = pl.multiple_of(rc_ref[b, 1], 8)
-        cp = pltpu.make_async_copy(
-            vol_ref.at[b, pl.ds(r0, fr), pl.ds(c0, fc), :], win, sem)
-        cp.start()
-        cp.wait()
+        nb = pl.num_programs(0)
+
+        def copy(i, slot):
+            r0 = rc_ref[i, 0]
+            # column anchors are built 8-aligned
+            # (corr._fine_anchor_weights); the hint lets Mosaic prove the
+            # sublane-dim offset rule
+            c0 = pl.multiple_of(rc_ref[i, 1], 8)
+            return pltpu.make_async_copy(
+                vol_ref.at[i, pl.ds(r0, fr), pl.ds(c0, fc), :],
+                win.at[slot], sem.at[slot])
+
+        # double-buffered DMA: block b+1's sub-window streams in while
+        # block b computes (255 sequential DMA-wait-compute rounds were
+        # latency-bound otherwise)
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b == 0)
+        def _():
+            copy(0, 0).start()
+
+        @pl.when(b + 1 < nb)
+        def _():
+            copy(b + 1, jax.lax.rem(b + 1, 2)).start()
+
+        copy(b, slot).wait()
         f32 = jnp.float32
-        v = win[:]
+        v = win[slot]
         acc1 = v[0:k].astype(f32) * wyf_ref[0, 0][None, None, :]
         for s in range(1, nsf):
             acc1 = acc1 + (v[s:s + k].astype(f32)
@@ -90,13 +108,13 @@ def _make_fine_kernel(wh, ww, fr, fc, k, dtype):
         acc2 = acc1[:, 0:k, :] * wxf_ref[0, 0][None, None, :]
         for t in range(1, ntf):
             acc2 = acc2 + acc1[:, t:t + k, :] * wxf_ref[0, t][None, None, :]
-        out_ref[0] = acc2.reshape(k * k, v.shape[-1])
+        out_ref[0] = acc2.reshape(k * k, v.shape[-1]).astype(out_ref.dtype)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "fr", "fc"))
-def block_local_lookup_fine(rc0, vol, wyf, wxf, k, fr, fc):
+@functools.partial(jax.jit, static_argnames=("k", "fr", "fc", "out_dtype"))
+def block_local_lookup_fine(rc0, vol, wyf, wxf, k, fr, fc, out_dtype=None):
     """Fine-slab bilinear window lookup: dynamic sub-window DMA.
 
     The full-slab kernel (`block_local_lookup`) blends over EVERY possible
@@ -125,8 +143,12 @@ def block_local_lookup_fine(rc0, vol, wyf, wxf, k, fr, fc):
         wyf: (nb, fr-k+1, bq) f32 two-hot weights relative to r0.
         wxf: (nb, fc-k+1, bq) f32, relative to c0.
         k: window size; fr, fc: fine sub-window extent (<= wh/ww).
+        out_dtype: result storage dtype (default f32). Accumulation is
+            always f32; bf16 here only rounds the stored window values —
+            the bf16-mode motion encoder consumes them in bf16 anyway,
+            and it halves the write+read traffic of the 12x GRU loop.
     Returns:
-        (nb, k*k, bq) f32, channel order c = j*k + i (y-major).
+        (nb, k*k, bq) out_dtype, channel order c = j*k + i (y-major).
     """
     nb, wh, ww, bq = vol.shape
     nsf = fr - k + 1
@@ -134,6 +156,7 @@ def block_local_lookup_fine(rc0, vol, wyf, wxf, k, fr, fc):
     assert fr <= wh and fc <= ww, (fr, fc, wh, ww)
     assert wyf.shape == (nb, nsf, bq), (wyf.shape, (nb, nsf, bq))
     assert wxf.shape == (nb, ntf, bq), (wxf.shape, (nb, ntf, bq))
+    out_dtype = jnp.float32 if out_dtype is None else out_dtype
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -148,15 +171,118 @@ def block_local_lookup_fine(rc0, vol, wyf, wxf, k, fr, fc):
         out_specs=pl.BlockSpec((1, k * k, bq), lambda b, rc: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((fr, fc, bq), vol.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, fr, fc, bq), vol.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
         _make_fine_kernel(wh, ww, fr, fc, k, vol.dtype),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, k * k, bq), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, k * k, bq), out_dtype),
     )(rc0, vol, wyf, wxf)
+
+
+def _make_fine_multi_kernel(k, exts, L):
+    def kernel(rc_ref, *refs):
+        vol_refs = refs[:L]
+        wyf_refs = refs[L:2 * L]
+        wxf_refs = refs[2 * L:3 * L]
+        out_ref = refs[3 * L]
+        wins = refs[3 * L + 1:3 * L + 1 + L]
+        sems = refs[3 * L + 1 + L:]
+        b = pl.program_id(0)
+        nb = pl.num_programs(0)
+
+        def copy(l, i, slot):
+            fr, fc = exts[l]
+            r0 = rc_ref[i, l, 0]
+            c0 = pl.multiple_of(rc_ref[i, l, 1], 8)
+            return pltpu.make_async_copy(
+                vol_refs[l].at[i, pl.ds(r0, fr), pl.ds(c0, fc), :],
+                wins[l].at[slot], sems[l].at[slot])
+
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b == 0)
+        def _():
+            for l in range(L):
+                copy(l, 0, 0).start()
+
+        @pl.when(b + 1 < nb)
+        def _():
+            nslot = jax.lax.rem(b + 1, 2)
+            for l in range(L):
+                copy(l, b + 1, nslot).start()
+
+        f32 = jnp.float32
+        outs = []
+        for l in range(L):
+            copy(l, b, slot).wait()
+            fr, fc = exts[l]
+            nsf = fr - k + 1
+            ntf = fc - k + 1
+            v = wins[l][slot]
+            acc1 = v[0:k].astype(f32) * wyf_refs[l][0, 0][None, None, :]
+            for s in range(1, nsf):
+                acc1 = acc1 + (v[s:s + k].astype(f32)
+                               * wyf_refs[l][0, s][None, None, :])
+            acc2 = acc1[:, 0:k, :] * wxf_refs[l][0, 0][None, None, :]
+            for t in range(1, ntf):
+                acc2 = acc2 + (acc1[:, t:t + k, :]
+                               * wxf_refs[l][0, t][None, None, :])
+            outs.append(acc2.reshape(k * k, v.shape[-1]))
+        # one store: per-level sublane offsets (l*81) aren't tile-aligned
+        out_ref[0] = jnp.concatenate(outs, axis=0).astype(out_ref.dtype)
+
+    return kernel
+
+
+def block_local_lookup_fine_multi(rcs, vols, wyfs, wxfs, k, exts,
+                                  out_dtype=None):
+    """All pyramid levels' fine-slab lookups in ONE kernel launch.
+
+    Four separate `block_local_lookup_fine` calls pay the per-block grid
+    step + DMA issue cost four times; measured on v5e the small levels
+    cost nearly as much as level 0 (~0.6 us/block fixed overhead). This
+    variant runs one 255-step grid, keeps all L levels' sub-window DMAs
+    in flight together (double-buffered), and emits the concatenated
+    (nb, L*k*k, bq) lookup directly — the exact layout the blocked motion
+    encoder consumes.
+
+    Args:
+        rcs: (nb, L, 2) int32 per-level [r0, c0]; c0 multiples of 8.
+        vols: list of L (nb, wh_l, ww_l, bq) p-layout volumes (HBM).
+        wyfs/wxfs: per-level two-hot weights as in block_local_lookup_fine.
+        k: window size; exts: tuple of L (fr, fc) fine extents.
+    Returns:
+        (nb, L*k*k, bq) out_dtype, level-major, c = j*k + i within level.
+    """
+    L = len(vols)
+    nb, _, _, bq = vols[0].shape
+    out_dtype = jnp.float32 if out_dtype is None else out_dtype
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(L)]
+    for w in (wyfs, wxfs):
+        for a in w:
+            n = a.shape[1]
+            in_specs.append(pl.BlockSpec((1, n, bq), lambda b, rc: (b, 0, 0),
+                                         memory_space=pltpu.VMEM))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, L * k * k, bq),
+                               lambda b, rc: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=(
+            [pltpu.VMEM((2,) + exts[l] + (bq,), vols[l].dtype)
+             for l in range(L)]
+            + [pltpu.SemaphoreType.DMA((2,)) for _ in range(L)]),
+    )
+    return pl.pallas_call(
+        _make_fine_multi_kernel(k, exts, L),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, L * k * k, bq), out_dtype),
+    )(rcs, *vols, *wyfs, *wxfs)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
