@@ -27,6 +27,8 @@ Env knobs:
                                 motion incl. the lax.cond fallback cost)
   WOFT_BENCH_CORR               correlation lookup impl override
   WOFT_BENCH_CKPT               checkpoint dir (default weights/wraft_tpu_v2)
+  WOFT_BENCH_GRU                '0' | '1': force fused SepConvGRU kernels
+                                off/on (default: auto — on for TPU + bf16)
 """
 
 import json
@@ -45,6 +47,9 @@ def _make_cfg(jax, precision):
         kw["corr_impl"] = impl
     if os.environ.get("WOFT_BENCH_ALT"):        # on-the-fly windowed corr:
         kw["alternate_corr"] = True             # no materialized volume (4K+)
+    gru = os.environ.get("WOFT_BENCH_GRU")      # '0'/'1': force the fused
+    if gru is not None:                         # SepConvGRU kernels off/on
+        kw["gru_pallas"] = gru not in ("0", "off", "false")
     return RaftConfig(variant="weighted", iters=12, precision=precision,
                       **kw)
 

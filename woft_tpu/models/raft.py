@@ -54,6 +54,10 @@ class RaftConfig:
                                        # construction+lookup kernels with
                                        # query-minor volumes (None = auto:
                                        # on for non-CPU backends)
+    gru_pallas: Optional[bool] = None  # fused SepConvGRU kernels in the
+                                       # iteration loop (ops/pallas/gru.py;
+                                       # bf16 mode + B=1 only; None = auto:
+                                       # on for non-CPU backends)
     precision: str = "highest"         # 'highest' | 'default' | 'bf16'
 
     @property
@@ -285,8 +289,17 @@ def _gru_gates(pz, pr, pq, h, x, pad, pre=None):
     return (1 - z) * h + z * q
 
 
-def _sep_conv_gru(p, h, x, pre=None):
-    """1x5 then 5x1 gated updates (ref:update.py:33-60)."""
+def _sep_conv_gru(p, h, x, pre=None, pallas=False):
+    """1x5 then 5x1 gated updates (ref:update.py:33-60).
+
+    ``pallas=True`` (requires ``pre`` and bf16 compute mode): run each
+    direction as one fused Pallas kernel — zr conv, gates, q conv and the
+    convex blend in a single VMEM-resident pass (ops/pallas/gru.py). Same
+    operand dtypes and rounding points as this XLA path."""
+    if pallas:
+        assert pre is not None, "fused GRU kernel needs hoisted context"
+        from ..ops.pallas.gru import sep_conv_gru_pallas
+        return sep_conv_gru_pallas(p, h, x, pre)
     h = _gru_gates(p["convz1"], p["convr1"], p["convq1"], h, x, (0, 2),
                    None if pre is None else pre["d1"])
     h = _gru_gates(p["convz2"], p["convr2"], p["convq2"], h, x, (2, 0),
@@ -327,7 +340,7 @@ def _conv_gru(p, h, x):
 
 
 def update_block_apply(p, net, inp, corr, flow, small=False, pre=None,
-                       with_mask=True):
+                       with_mask=True, gru_pallas=False):
     """-> (net, up_mask | None, delta_flow) (ref:update.py:99-136).
 
     ``pre``: loop-invariant context contributions from
@@ -347,7 +360,8 @@ def update_block_apply(p, net, inp, corr, flow, small=False, pre=None,
         net = _sep_conv_gru(p["gru"], net,
                             jnp.concatenate([inp, motion], -1))
     else:
-        net = _sep_conv_gru(p["gru"], net, motion, pre)
+        net = _sep_conv_gru(p["gru"], net, motion, pre,
+                            pallas=gru_pallas)
     if not with_mask:
         return net, None, _flow_head(p["flow_head"], net)
     # the flow head's conv1 and the mask head's conv 0 both read ``net``:
@@ -628,6 +642,11 @@ def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
     # trainer does not use; tracker consumes the last)
     pre = (None if cfg.small else
            precompute_gru_context(params["update_block"]["gru"], inp, hdim))
+    gru_pallas = cfg.gru_pallas
+    if gru_pallas is None:
+        gru_pallas = jax.default_backend() not in ("cpu",)
+    gru_pallas = (gru_pallas and not cfg.small and B == 1
+                  and cfg.compute_dtype == jnp.bfloat16)
 
     def step(carry, _):
         net, coords1 = carry
@@ -637,7 +656,7 @@ def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
         flow = coords1 - coords0
         net, _, delta = update_block_apply(
             params["update_block"], net, inp, corr_feat, flow, cfg.small,
-            pre=pre, with_mask=False)
+            pre=pre, with_mask=False, gru_pallas=gru_pallas)
         return (net, coords1 + delta), None
 
     (net, coords1), _ = jax.lax.scan(
