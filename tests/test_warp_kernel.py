@@ -73,3 +73,41 @@ def test_warp_perspective_fast_cond_dispatch():
         want = warp_perspective(img, H)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-4, rtol=1e-5)
+
+
+def test_tiered_plans_and_mid_tier_dispatch():
+    """plan_block_warp_multi: shared stats, per-tier envelopes. A ~1.35x
+    zoom-out exceeds the small (32, 256) patch tier (a 128-px output
+    block samples ~173 source columns + up-to-127 alignment waste) but
+    fits the big (48, 384) tier; the cond wrapper must stay exact."""
+    from woft_tpu.ops.pallas.warp import plan_block_warp_multi
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 255, (1, 96, 768, 3)), jnp.float32)
+    s = 1 / 1.5                        # forward src->dst scale (zoom out)
+    H = jnp.asarray([[s, 0.0, 4.0], [0.0, s, 2.0], [0.0, 0.0, 1.0]],
+                    jnp.float32)
+    coords = perspective_coords(H[None], (96, 768))[0]
+    small, big = plan_block_warp_multi(coords, (96, 768),
+                                       tiers=((32, 256), (48, 384)))
+    assert not bool(small["ok"])
+    assert bool(big["ok"])
+    got = warp_perspective_fast(img, H, use_pallas=True, interpret=True)
+    want = warp_perspective(img, H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-5)
+
+
+def test_bf16_staging_uint8_frames():
+    """bf16 source staging in 'default' blend mode: error vs the exact
+    gather stays within the bf16-blend budget on a uint8-valued frame."""
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.integers(0, 256, (1, 96, 128, 3)),
+                      jnp.float32)
+    H = _rot_h(0.05, tx=6.0)
+    got = warp_perspective_fast(img, H, use_pallas=True, interpret=True,
+                                precision="default")
+    want = warp_perspective(img, H)
+    d = np.abs(np.asarray(got) - np.asarray(want))
+    assert d.max() <= 1.0, d.max()     # <= one intensity step (bf16 blend)
+    assert np.asarray(got).dtype == np.float32

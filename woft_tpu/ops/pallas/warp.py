@@ -89,24 +89,15 @@ def _make_kernel(C, ph, pw, precision):
     return kernel
 
 
-def plan_block_warp(coords, src_hw, ph=48, pw=384):
-    """Precompute the kernel's per-block/per-pixel operands (pure XLA).
-
-    Args:
-        coords: (H_out, W_out, 2) f32 source (x, y) sample positions.
-        src_hw: (H_src, W_src) source image size.
-        ph, pw: patch size (statics; sublane x lane).
-    Returns:
-        dict with bases (nb, 2) i32, ints (nb, 4, BQ) i32,
-        wts (nb, 4, BQ) f32, ok () bool, grid metadata.
-    """
+def _plan_stats(coords, src_hw):
+    """Patch-size-independent per-block statistics (the heavy part of
+    planning): blocked corner indices/weights + valid-corner extents.
+    Shared across patch tiers (`plan_block_warp_multi`)."""
     H_out, W_out = coords.shape[:2]
     H_src, W_src = src_hw
     nby = -(-H_out // _BH)
     nbx = -(-W_out // _BW)
     nb = nby * nbx
-    Hp = _round_up(H_src, 8) + ph
-    Wp = _round_up(W_src, 128) + pw
 
     c = jnp.pad(coords, ((0, nby * _BH - H_out), (0, nbx * _BW - W_out),
                          (0, 0)), constant_values=-1e9)
@@ -152,6 +143,19 @@ def plan_block_warp(coords, src_hw, ph=48, pw=384):
     xlo, xhi = extent(bx0, bwx0, bx1, bwx1)
     ylo, yhi = extent(by0, bwy0, by1, bwy1)
 
+    wts = jnp.stack([bwx0, bwx1, bwy0, bwy1], axis=1)            # (nb,4,BQ)
+    return dict(nby=nby, nbx=nbx, corners=(bx0, bx1, by0, by1),
+                wts=wts.astype(jnp.float32),
+                extents=(xlo, xhi, ylo, yhi))
+
+
+def _plan_tier(stats, src_hw, ph, pw, Hp, Wp):
+    """Finish a plan for one (ph, pw) patch tier from shared stats.
+    ``Hp``/``Wp`` is the padded source size actually staged (>= this
+    tier's own requirement when sharing one padded source)."""
+    bx0, bx1, by0, by1 = stats["corners"]
+    xlo, xhi, ylo, yhi = stats["extents"]
+
     base_x = jnp.clip((xlo // 128) * 128, 0, Wp - pw)
     base_y = jnp.clip((ylo // 8) * 8, 0, Hp - ph)
     # empty blocks (no valid corner): xhi < xlo sentinel-wise -> ok
@@ -164,12 +168,46 @@ def plan_block_warp(coords, src_hw, ph=48, pw=384):
         jnp.clip(bx1 - base_x[:, None], 0, pw - 1),
         jnp.clip(by0 - base_y[:, None], 0, ph - 1),
         jnp.clip(by1 - base_y[:, None], 0, ph - 1)], axis=1)     # (nb,4,BQ)
-    wts = jnp.stack([bwx0, bwx1, bwy0, bwy1], axis=1)            # (nb,4,BQ)
     bases = jnp.stack([base_y, base_x], axis=-1)                 # (nb, 2)
 
     return dict(bases=bases.astype(jnp.int32), ints=ints,
-                wts=wts.astype(jnp.float32), ok=ok,
-                nby=nby, nbx=nbx, Hp=Hp, Wp=Wp)
+                wts=stats["wts"], ok=ok,
+                nby=stats["nby"], nbx=stats["nbx"], Hp=Hp, Wp=Wp)
+
+
+def plan_block_warp(coords, src_hw, ph=48, pw=384):
+    """Precompute the kernel's per-block/per-pixel operands (pure XLA).
+
+    Args:
+        coords: (H_out, W_out, 2) f32 source (x, y) sample positions.
+        src_hw: (H_src, W_src) source image size.
+        ph, pw: patch size (statics; sublane x lane).
+    Returns:
+        dict with bases (nb, 2) i32, ints (nb, 4, BQ) i32,
+        wts (nb, 4, BQ) f32, ok () bool, grid metadata.
+    """
+    H_src, W_src = src_hw
+    Hp = _round_up(H_src, 8) + ph
+    Wp = _round_up(W_src, 128) + pw
+    return _plan_tier(_plan_stats(coords, src_hw), src_hw, ph, pw, Hp, Wp)
+
+
+def plan_block_warp_multi(coords, src_hw, tiers=((32, 256), (48, 384))):
+    """Plans for several patch tiers, heavy per-block stats shared.
+
+    The kernel's matmul cost scales with patch AREA (C*ph x pw @ pw x
+    1024 per block), so a steady-state tracker should run the smallest
+    patch whose envelope holds and only escalate on large poses. All
+    tiers share one padded source sized for the LARGEST tier. Returns a
+    list of plans ordered as ``tiers`` (cheapest first by convention).
+    """
+    H_src, W_src = src_hw
+    ph_max = max(t[0] for t in tiers)
+    pw_max = max(t[1] for t in tiers)
+    Hp = _round_up(H_src, 8) + ph_max
+    Wp = _round_up(W_src, 128) + pw_max
+    stats = _plan_stats(coords, src_hw)
+    return [_plan_tier(stats, src_hw, ph, pw, Hp, Wp) for ph, pw in tiers]
 
 
 @functools.partial(jax.jit,
@@ -216,15 +254,25 @@ def warp_bilinear_blocked(img, coords, ph=48, pw=384, interpret=False,
 
 
 def warp_bilinear_from_plan(img, plan, H_out, W_out, ph=48, pw=384,
-                            interpret=False, precision="highest"):
+                            interpret=False, precision="highest",
+                            stage_dtype=None):
+    """``stage_dtype``: optional dtype the padded source is staged (and
+    DMA'd) in. bf16 staging is EXACT for uint8-valued frames (all
+    integers 0..256 are bf16-representable) and halves the kernel's DMA
+    traffic; with the 'default'-precision blend matmul (already a bf16
+    MXU pass) it adds no rounding beyond what that mode accepts. The
+    result is cast back to the input dtype."""
     H_src, W_src = img.shape[1:3]
     C = img.shape[-1]
     src = jnp.transpose(img[0], (2, 0, 1))                   # (C, H, W)
+    if stage_dtype is not None:
+        src = src.astype(stage_dtype)
     src = jnp.pad(src, ((0, 0), (0, plan["Hp"] - H_src),
                         (0, plan["Wp"] - W_src)))
     out = block_warp(src, plan["bases"], plan["ints"], plan["wts"],
                      plan["nby"], plan["nbx"], ph, pw, interpret,
                      precision)
+    out = out.astype(img.dtype)
     nby, nbx = plan["nby"], plan["nbx"]
     out = (out.reshape(nby, nbx, C, _BH, _BW)
            .transpose(2, 0, 3, 1, 4)

@@ -200,18 +200,36 @@ def warp_perspective_fast(img, H, out_shape=None, use_pallas=None,
     if not use_pallas:
         return grid_sample(img, coords, mode="bilinear")
 
-    from .pallas.warp import plan_block_warp, warp_bilinear_from_plan
+    from .pallas.warp import plan_block_warp_multi, warp_bilinear_from_plan
 
-    plan = plan_block_warp(coords[0], img.shape[1:3], ph, pw)
+    # tiered patches: the kernel's matmul cost scales with patch area, so
+    # run the smallest patch whose pose envelope holds (steady-state
+    # tracking: near-identity prewarp residual) and escalate to the full
+    # envelope, then to the exact gather, only on large poses. In the
+    # bf16 blend mode the source is staged bf16 (exact for uint8-valued
+    # frames; halves the kernel's DMA traffic).
+    small, big = plan_block_warp_multi(coords[0], img.shape[1:3],
+                                       tiers=((ph - 16, pw - 128),
+                                              (ph, pw)))
+    stage = jnp.bfloat16 if precision == "default" else None
 
-    def fast(_):
-        return warp_bilinear_from_plan(img, plan, out_h, out_w, ph, pw,
-                                       interpret, precision)
+    def fast_small(_):
+        return warp_bilinear_from_plan(img, small, out_h, out_w, ph - 16,
+                                       pw - 128, interpret, precision,
+                                       stage_dtype=stage)
+
+    def fast_big(_):
+        return warp_bilinear_from_plan(img, big, out_h, out_w, ph, pw,
+                                       interpret, precision,
+                                       stage_dtype=stage)
 
     def slow(_):
         return grid_sample(img, coords, mode="bilinear")
 
-    return jax.lax.cond(plan["ok"], fast, slow, operand=None)
+    def escalate(_):
+        return jax.lax.cond(big["ok"], fast_big, slow, operand=None)
+
+    return jax.lax.cond(small["ok"], fast_small, escalate, operand=None)
 
 
 def warp_validity_mask(H, src_hw, out_shape=None):
