@@ -35,6 +35,14 @@ run_step 01_verify_demo 2400 python WOFT_demo.py /root/reference/demo/V24_7 \
 run_step 02_gru_ab 2400 python tools/gru_ab.py
 GRU_OK=$?
 
+# 2b. block-local construction + fine-multi lookup kernels on chip (the
+#     fine=True default now routes through block_local_lookup_fine_multi).
+run_step 02b_pallas_ab 3600 python tools/pallas_ab.py
+
+# 2c. block-warp kernel on chip: small/mid tier dispatch, bf16 staging,
+#     out-of-envelope fallback.
+run_step 02c_warp_bench 3600 python tools/warp_bench.py
+
 # 3. full-frame 1080p, fused GRU OFF — isolates the multi-level lookup +
 #    tiered-warp gain vs the 17.5 fps baseline. Fresh jaxpr: 30-60+ min.
 WOFT_BENCH_TRACKER=full WOFT_BENCH_CORR=local WOFT_BENCH_GRU=0 \

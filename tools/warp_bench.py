@@ -62,6 +62,34 @@ def main():
     print(f"gather warp:  {t_g:8.2f} ms/frame")
     print(f"pallas warp:  {t_p:8.2f} ms/frame   ({t_g / t_p:.2f}x)")
 
+    # r3 tiered dispatch: a ~1.4x zoom-out exceeds the small (32, 256)
+    # patch tier but fits the big (48, 384) one — exactness + the cost of
+    # escalating one cond level
+    s = 1 / 1.4
+    Hmid = jnp.asarray(np.array([[s, 0.0, 9.0], [0.0, s, 4.0],
+                                 [0.0, 0.0, 1.0]], np.float32))
+    a = np.asarray(gather(img, Hmid))
+    b = np.asarray(pallas(img, Hmid))
+    d = float(np.max(np.abs(a - b)))
+    print(f"mid-tier (1.4x zoom-out) max|delta| = {d:.3e} "
+          f"({'PASS' if d < 1e-3 else 'FAIL'})", flush=True)
+    t_m = timeit(pallas, img, Hmid)
+    print(f"mid-tier path: {t_m:8.2f} ms/frame")
+
+    # r3 bf16 source staging ('default' blend mode) on a uint8-valued
+    # frame: must stay within one intensity step of the exact gather
+    img8 = jnp.asarray(rng.integers(0, 256, (1, H_img, W_img, 3)),
+                       jnp.float32)
+    pallas_bf16 = jax.jit(lambda im, h: warp_perspective_fast(
+        im, h, use_pallas=True, precision="default"))
+    a = np.asarray(gather(img8, Hm))
+    b = np.asarray(pallas_bf16(img8, Hm))
+    d = float(np.max(np.abs(a - b)))
+    print(f"bf16-staged blend (uint8 frame) max|delta| = {d:.3e} "
+          f"({'PASS' if d <= 1.0 else 'FAIL'})", flush=True)
+    t_b = timeit(pallas_bf16, img8, Hm)
+    print(f"bf16-staged small tier: {t_b:8.2f} ms/frame")
+
     # out-of-envelope dispatch (90 deg rotation): must still be exact
     Hrot = jnp.asarray(np.array([[0.0, -1.0, W_img * 0.8],
                                  [1.0, 0.0, -W_img * 0.2],
