@@ -98,3 +98,7 @@ def test_forward_auto_gate_off_on_cpu():
         (1, 48, 64, 3))
     out = weighted_raft_forward(params, cfg, img, img)
     assert np.isfinite(np.asarray(out["flow_up"])).all()
+    # a bf16-config forward must not leak module-wide precision into later
+    # unrelated code (this broke f32 encoder parity tests downstream once)
+    assert layers.get_precision() == jax.lax.Precision.HIGHEST
+    assert layers.get_compute_dtype() is None

@@ -13,6 +13,7 @@ Norm semantics match torch eval mode:
 - GroupNorm: affine, group statistics.
 """
 
+import contextlib
 import math
 
 import jax
@@ -42,6 +43,21 @@ def get_precision():
 
 def get_compute_dtype():
     return _COMPUTE_DTYPE
+
+
+@contextlib.contextmanager
+def precision_scope(precision, compute_dtype=None):
+    """``set_precision`` bounded to a scope: restores the previous state on
+    exit so one traced forward (e.g. a bf16-config model) cannot leak its
+    precision into unrelated later code (observed: a bf16 forward in one
+    test degraded f32 encoder parity in another)."""
+    global _PRECISION, _COMPUTE_DTYPE
+    prev = (_PRECISION, _COMPUTE_DTYPE)
+    set_precision(precision, compute_dtype)
+    try:
+        yield
+    finally:
+        _PRECISION, _COMPUTE_DTYPE = prev
 
 
 def conv2d(p, x, stride=1, padding=0, dtype=None, out_dtype=None):

@@ -475,15 +475,15 @@ def encode_template(params, cfg: RaftConfig, image1):
     is numerically identical to the reference's joint 2B-batch encode
     (ref:weighted_raft.py:204-219) — but saves ~half the encoder FLOPs per
     tracked frame. Returns (fmap1, net0, inp)."""
-    layers.set_precision(cfg.lax_precision, cfg.compute_dtype)
-    x1 = 2.0 * (image1 / 255.0) - 1.0
-    hdim, cdim = cfg.hidden_dim, cfg.context_dim
-    fmap1 = encoder_apply(params["fnet"], x1, "instance", cfg.small)
-    cnet = encoder_apply(params["cnet"], x1,
-                         "none" if cfg.small else "batch", cfg.small)
-    net = jnp.tanh(cnet[..., :hdim])
-    inp = jax.nn.relu(cnet[..., hdim:hdim + cdim])
-    return fmap1, net, inp
+    with layers.precision_scope(cfg.lax_precision, cfg.compute_dtype):
+        x1 = 2.0 * (image1 / 255.0) - 1.0
+        hdim, cdim = cfg.hidden_dim, cfg.context_dim
+        fmap1 = encoder_apply(params["fnet"], x1, "instance", cfg.small)
+        cnet = encoder_apply(params["cnet"], x1,
+                             "none" if cfg.small else "batch", cfg.small)
+        net = jnp.tanh(cnet[..., :hdim])
+        inp = jax.nn.relu(cnet[..., hdim:hdim + cdim])
+        return fmap1, net, inp
 
 
 def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
@@ -513,8 +513,14 @@ def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
         'mask_up' for 'weighted_masked'; 'mean_response' (B,H/8,W/8).
     (ref:weighted_raft.py:179-315)
     """
+    with layers.precision_scope(cfg.lax_precision, cfg.compute_dtype):
+        return _raft_forward(params, cfg, image1, image2, flow_init, iters,
+                             template_feats, sparse_weight_head)
+
+
+def _raft_forward(params, cfg, image1, image2, flow_init, iters,
+                  template_feats, sparse_weight_head):
     iters = cfg.iters if iters is None else iters
-    layers.set_precision(cfg.lax_precision, cfg.compute_dtype)
 
     x2 = 2.0 * (image2 / 255.0) - 1.0
     B, H, W, _ = x2.shape
@@ -692,9 +698,7 @@ def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
             # and cheaper than any sparse formulation here.
             corr_dense_flat = lookup_natural(coords1).reshape(H1 * W1, -1)
 
-        def weight_head_at(cells):
-            """cells: (M,) int32 flat 1/8-grid indices -> (M,) logits,
-            bit-equal to the dense head at those cells."""
+        def _wh_at(cells):
             M = cells.shape[0]
             c = coords1_flat[cells][None, None]           # (1, 1, M, 2)
             if cfg.alternate_corr:
@@ -729,6 +733,13 @@ def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
                                   mr_flat[cells].reshape(1, 1, M),
                                   cfg.weight_head_structure)
             return w.reshape(M)
+
+        def weight_head_at(cells):
+            """cells: (M,) int32 flat 1/8-grid indices -> (M,) logits,
+            bit-equal to the dense head at those cells. Invoked after the
+            forward returns, so it re-enters this config's precision scope."""
+            with layers.precision_scope(cfg.lax_precision, cfg.compute_dtype):
+                return _wh_at(cells)
 
         out.update(up_mask=up_mask, weight_head_at=weight_head_at,
                    mean_response=mean_response)
