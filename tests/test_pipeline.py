@@ -67,3 +67,64 @@ def test_multi_target_tracks_three_boxes():
     for n in range(3):
         assert np.allclose(hs[n], np.eye(3), atol=2e-3), hs[n]
     assert meta["global_H_success"].all()
+
+
+def _write_jpg_seq(dirpath, n=5):
+    """A small textured clip: base noise image translating 1 px/frame."""
+    import cv2
+    rng = np.random.default_rng(7)
+    base = rng.uniform(0, 255, (H_IMG, W_IMG, 3)).astype(np.float32)
+    base = cv2.GaussianBlur(base, (0, 0), 1.5)
+    base = np.clip((base - base.mean()) * 3.0 + 127.5, 0, 255)
+    paths = []
+    for i in range(n):
+        M = np.float32([[1, 0, i], [0, 1, 0.5 * i]])
+        f = cv2.warpAffine(base, M, (W_IMG, H_IMG))
+        p = str(dirpath / f"{i:05d}.jpg")
+        cv2.imwrite(p, f.astype(np.uint8), [cv2.IMWRITE_JPEG_QUALITY, 95])
+        paths.append(p)
+    return paths
+
+
+def test_native_frameloader_matches_cv2(tmp_path):
+    """The C++ threaded loader must return the same RGB float32 frames, in
+    order, as the cv2 fallback decode."""
+    woft_native = pytest.importorskip("woft_native")
+    import cv2
+    paths = _write_jpg_seq(tmp_path, n=6)
+    loader = woft_native.FrameLoader(paths, n_threads=3, prefetch=2)
+    got = []
+    while True:
+        f = loader.next_frame()
+        if f is None:
+            break
+        got.append(np.asarray(f))
+    assert len(got) == len(paths)
+    for p, g in zip(paths, got):
+        want = cv2.imread(p)[:, :, ::-1].astype(np.float32)
+        assert g.shape == want.shape and g.dtype == np.float32
+        # same libjpeg family; allow 1-LSB IDCT implementation slack
+        assert np.abs(g - want).max() <= 1.0, (p, np.abs(g - want).max())
+
+
+def test_track_video_end_to_end(tmp_path):
+    """track_video (BASELINE config 5 driver) over a jpg dir: native
+    threaded decode -> device window steps -> deferred H fetches."""
+    from woft_tpu.models.raft import init_raft_params
+    from woft_tpu.pipeline import track_video
+    from woft_tpu.tracker.window_step import window_params_for_mask
+
+    paths = _write_jpg_seq(tmp_path, n=5)
+    cfg = RaftConfig(variant="weighted", iters=1)
+    params = init_raft_params(jax.random.PRNGKey(0), cfg)
+    tp = TrackerParams(redetection="always", no_local_h=True,
+                       padding_mode="nopad")
+    mask = np.zeros((H_IMG, W_IMG), bool)
+    mask[24:72, 32:96] = True
+    wp = window_params_for_mask(mask, size=S, min_px=20.0)
+    hs = track_video(params, cfg, tp, wp, tmp_path, mask, sync_every=2)
+    assert hs.shape == (len(paths), 3, 3)
+    assert np.isfinite(hs).all()
+    assert np.allclose(hs[0], np.eye(3))
+    # normalized homographies (h22 = 1) for every tracked frame
+    assert np.allclose(hs[:, 2, 2], 1.0, atol=1e-5)
