@@ -29,6 +29,8 @@ Env knobs:
   WOFT_BENCH_CKPT               checkpoint dir (default weights/wraft_tpu_v2)
   WOFT_BENCH_GRU                '0' | '1': force fused SepConvGRU kernels
                                 off/on (default: auto — on for TPU + bf16)
+  WOFT_BENCH_TAIL               '0' | '1': force the fused motion-encoder
+                                + flow-head kernels off/on (same default)
 """
 
 import json
@@ -50,6 +52,9 @@ def _make_cfg(jax, precision):
     gru = os.environ.get("WOFT_BENCH_GRU")      # '0'/'1': force the fused
     if gru is not None:                         # SepConvGRU kernels off/on
         kw["gru_pallas"] = gru not in ("0", "off", "false")
+    tail = os.environ.get("WOFT_BENCH_TAIL")    # '0'/'1': fused motion-
+    if tail is not None:                        # encoder + flow-head kernels
+        kw["tail_pallas"] = tail not in ("0", "off", "false")
     return RaftConfig(variant="weighted", iters=12, precision=precision,
                       **kw)
 

@@ -23,17 +23,21 @@ run_step() { # name timeout_s cmd...
   return $rc
 }
 
-# 0. cached window canary — fast (cached graph), confirms tunnel health and
-#    gives the comparability reference for every later throughput row.
-run_step 00_canary_window 1800 python bench.py
+# 0. window canary with the NEW loop kernels pinned OFF — matches the last
+#    measured graph, confirms tunnel health, and is the comparability
+#    reference for every later throughput row.
+WOFT_BENCH_GRU=0 WOFT_BENCH_TAIL=0 run_step 00_canary_window 1800 \
+  python bench.py
+unset WOFT_BENCH_GRU WOFT_BENCH_TAIL 2>/dev/null
 
-# 1. /verify end-to-end drive: demo CLI on real footage, real chip.
-run_step 01_verify_demo 2400 python WOFT_demo.py /root/reference/demo/V24_7 \
-  --headless --out /tmp/recovery/demo_out --bbox 430,215,310,490 --max-frames 40
-
-# 2. fused GRU on-chip A/B (small compile).
+# 2. fused GRU on-chip A/B (small compile). Kernel A/Bs run BEFORE any
+#    step that would exercise the new kernels via auto-gating.
 run_step 02_gru_ab 2400 python tools/gru_ab.py
 GRU_OK=$?
+
+# 2a. fused motion-encoder + flow-head kernels on chip (small compile).
+run_step 02a_update_ab 2400 python tools/update_ab.py
+TAIL_OK=$?
 
 # 2b. block-local construction + fine-multi lookup kernels on chip (the
 #     fine=True default now routes through block_local_lookup_fine_multi).
@@ -43,22 +47,34 @@ run_step 02b_pallas_ab 3600 python tools/pallas_ab.py
 #     out-of-envelope fallback.
 run_step 02c_warp_bench 3600 python tools/warp_bench.py
 
-# 3. full-frame 1080p, fused GRU OFF — isolates the multi-level lookup +
-#    tiered-warp gain vs the 17.5 fps baseline. Fresh jaxpr: 30-60+ min.
-WOFT_BENCH_TRACKER=full WOFT_BENCH_CORR=local WOFT_BENCH_GRU=0 \
-  run_step 03_full1080_gru0 5400 python bench.py
+# 1. /verify end-to-end drive: demo CLI on real footage, real chip (after
+#    the A/Bs — the demo config's precision decides whether the bf16 loop
+#    kernels auto-gate in).
+run_step 01_verify_demo 2400 python WOFT_demo.py \
+  /root/reference/demo/V24_7 --headless --out /tmp/recovery/demo_out \
+  --bbox 430,215,310,490 --max-frames 40
 
-# 4. same with fused GRU ON (only if the A/B validated).
-if [ "$GRU_OK" -eq 0 ]; then
-  WOFT_BENCH_TRACKER=full WOFT_BENCH_CORR=local WOFT_BENCH_GRU=1 \
-    run_step 04_full1080_gru1 5400 python bench.py
+# 3. full-frame 1080p, fused loop kernels OFF — isolates the multi-level
+#    lookup + tiered-warp gain vs the 17.5 fps baseline. Fresh jaxpr:
+#    30-60+ min.
+WOFT_BENCH_TRACKER=full WOFT_BENCH_CORR=local WOFT_BENCH_GRU=0 \
+  WOFT_BENCH_TAIL=0 run_step 03_full1080_kern0 5400 python bench.py
+
+# 4. same with every validated fused loop kernel ON.
+if [ "$GRU_OK" -eq 0 ] || [ "$TAIL_OK" -eq 0 ]; then
+  WOFT_BENCH_TRACKER=full WOFT_BENCH_CORR=local \
+    WOFT_BENCH_GRU=$([ "$GRU_OK" -eq 0 ] && echo 1 || echo 0) \
+    WOFT_BENCH_TAIL=$([ "$TAIL_OK" -eq 0 ] && echo 1 || echo 0) \
+    run_step 04_full1080_kern1 5400 python bench.py
 else
-  echo "=== 04 skipped (gru_ab failed rc=$GRU_OK)" | tee -a "$OUT/status.txt"
+  echo "=== 04 skipped (gru_ab rc=$GRU_OK update_ab rc=$TAIL_OK)" \
+    | tee -a "$OUT/status.txt"
 fi
 
 # bash keeps prefix-assignments alive after a function call — scrub them so
 # later steps see only what they set themselves.
-unset WOFT_BENCH_TRACKER WOFT_BENCH_CORR WOFT_BENCH_GRU 2>/dev/null
+unset WOFT_BENCH_TRACKER WOFT_BENCH_CORR WOFT_BENCH_GRU WOFT_BENCH_TAIL \
+  2>/dev/null
 
 # 5. fresh trace of the (now current) full-frame graph -> next targets.
 WOFT_BENCH_CORR=local run_step 05_trace_full 5400 python tools/trace_full.py

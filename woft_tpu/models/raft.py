@@ -58,6 +58,10 @@ class RaftConfig:
                                        # iteration loop (ops/pallas/gru.py;
                                        # bf16 mode + B=1 only; None = auto:
                                        # on for non-CPU backends)
+    tail_pallas: Optional[bool] = None  # fused motion-encoder 3x3 stack +
+                                        # flow-head kernels in the loop
+                                        # (ops/pallas/update_tail.py; same
+                                        # gating as gru_pallas)
     precision: str = "highest"         # 'highest' | 'default' | 'bf16'
 
     @property
@@ -165,7 +169,10 @@ def encoder_apply(p, x, norm_fn, small=False):
 # update block (ref:raft_core/update.py)
 # ---------------------------------------------------------------------------
 
-def _flow_head(p, x):
+def _flow_head(p, x, pallas=False):
+    if pallas:
+        from ..ops.pallas.update_tail import flow_head_pallas
+        return flow_head_pallas(p, x)
     h = layers.relu(layers.conv2d(p["conv1"], x, padding=1,
                                   out_dtype=layers.get_compute_dtype()))
     return layers.conv2d(p["conv2"], h, padding=1)   # delta stays f32
@@ -211,14 +218,22 @@ def _corr_conv1(pc, corr):
     return layers.relu(out.reshape(1, meta["H1"], meta["W1"], co))
 
 
-def _basic_motion_encoder(p, flow, corr):
+def _basic_motion_encoder(p, flow, corr, pallas=False):
     """ref:update.py:79-97. Intermediates store in the compute dtype in
-    bf16 mode (f32 accumulation in every conv; see layers.conv2d)."""
+    bf16 mode (f32 accumulation in every conv; see layers.conv2d).
+
+    ``pallas``: run the 3x3 stack (convc2 + convf2 + conv(cat)) as one
+    fused VMEM-resident kernel (ops/pallas/update_tail.py; bf16 mode
+    only). convc1 (channel-reduction einsum absorbing the blocked-lookup
+    relayout) and the MXU-hostile 7x7 2-channel convf1 stay XLA."""
     sd = layers.get_compute_dtype()
     cor = _corr_conv1(p["convc1"], corr)
-    cor = layers.relu(layers.conv2d(p["convc2"], cor, padding=1,
-                                    out_dtype=sd))
     flo = layers.relu(layers.conv2d(p["convf1"], flow, padding=3,
+                                    out_dtype=sd))
+    if pallas:
+        from ..ops.pallas.update_tail import motion_encoder_pallas
+        return motion_encoder_pallas(p, flow, cor, flo)
+    cor = layers.relu(layers.conv2d(p["convc2"], cor, padding=1,
                                     out_dtype=sd))
     flo = layers.relu(layers.conv2d(p["convf2"], flo, padding=1,
                                     out_dtype=sd))
@@ -340,7 +355,7 @@ def _conv_gru(p, h, x):
 
 
 def update_block_apply(p, net, inp, corr, flow, small=False, pre=None,
-                       with_mask=True, gru_pallas=False):
+                       with_mask=True, gru_pallas=False, tail_pallas=False):
     """-> (net, up_mask | None, delta_flow) (ref:update.py:99-136).
 
     ``pre``: loop-invariant context contributions from
@@ -355,7 +370,8 @@ def update_block_apply(p, net, inp, corr, flow, small=False, pre=None,
         net = _conv_gru(p["gru"], net, jnp.concatenate([inp, motion], -1))
         delta = _flow_head(p["flow_head"], net)
         return net, None, delta
-    motion = _basic_motion_encoder(p["encoder"], flow, corr)
+    motion = _basic_motion_encoder(p["encoder"], flow, corr,
+                                   pallas=tail_pallas)
     if pre is None:
         net = _sep_conv_gru(p["gru"], net,
                             jnp.concatenate([inp, motion], -1))
@@ -363,7 +379,8 @@ def update_block_apply(p, net, inp, corr, flow, small=False, pre=None,
         net = _sep_conv_gru(p["gru"], net, motion, pre,
                             pallas=gru_pallas)
     if not with_mask:
-        return net, None, _flow_head(p["flow_head"], net)
+        return net, None, _flow_head(p["flow_head"], net,
+                                     pallas=tail_pallas)
     # the flow head's conv1 and the mask head's conv 0 both read ``net``:
     # one fused 3x3 128->512 conv (exact, see _gru_gates note)
     fh, mh = p["flow_head"], p["mask"]
@@ -653,6 +670,11 @@ def _raft_forward(params, cfg, image1, image2, flow_init, iters,
         gru_pallas = jax.default_backend() not in ("cpu",)
     gru_pallas = (gru_pallas and not cfg.small and B == 1
                   and cfg.compute_dtype == jnp.bfloat16)
+    tail_pallas = cfg.tail_pallas
+    if tail_pallas is None:
+        tail_pallas = jax.default_backend() not in ("cpu",)
+    tail_pallas = (tail_pallas and not cfg.small and B == 1
+                   and cfg.compute_dtype == jnp.bfloat16)
 
     def step(carry, _):
         net, coords1 = carry
@@ -662,7 +684,8 @@ def _raft_forward(params, cfg, image1, image2, flow_init, iters,
         flow = coords1 - coords0
         net, _, delta = update_block_apply(
             params["update_block"], net, inp, corr_feat, flow, cfg.small,
-            pre=pre, with_mask=False, gru_pallas=gru_pallas)
+            pre=pre, with_mask=False, gru_pallas=gru_pallas,
+            tail_pallas=tail_pallas)
         return (net, coords1 + delta), None
 
     (net, coords1), _ = jax.lax.scan(
