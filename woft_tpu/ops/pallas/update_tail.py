@@ -140,7 +140,7 @@ def _make_me_kernel(T, W, H):
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def motion_encoder_pallas(p, flow, cor1, flo1, tile=16, interpret=False):
+def motion_encoder_pallas(p, flow, cor1, flo1, tile=8, interpret=False):
     """Fused twin of the 3x3 stack of models/raft._basic_motion_encoder.
 
     Args:
@@ -151,6 +151,10 @@ def motion_encoder_pallas(p, flow, cor1, flo1, tile=16, interpret=False):
         flo1: (1, H, W, 128) relu(convf1(flow)) activations.
     Returns:
         (1, H, W, 128) bf16 motion features = cat(out126, flow).
+
+    tile=8 default: ~7 MB VMEM/step at the 1080p loop shape (240 cols);
+    tile=16 (~12 MB) trades 1.25x less stage-1 halo recompute against
+    VMEM headroom — revisit with on-chip numbers (tools/update_ab.py).
     """
     _, H, W, _ = cor1.shape
     T = tile
