@@ -16,7 +16,15 @@ import argparse
 import glob
 import json
 import logging
+import os
 from pathlib import Path
+
+import jax
+
+if os.environ.get("WOFT_CPU"):      # deterministic tunnel-free run
+    jax.config.update("jax_platforms", "cpu")
+else:
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 
 import numpy as np
 
