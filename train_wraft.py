@@ -30,8 +30,13 @@ def parse_args():
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     p.add_argument("--images", type=Path, required=True,
                    help="directory of training images (jpg/png)")
-    p.add_argument("--size", default="288x384", help="train crop HxW (/8)")
-    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--size", default="288x384",
+                   help="train crop HxW (/8); a comma-separated list "
+                        "(e.g. 288x384,448x576) cycles sizes per step — "
+                        "multi-scale batches, one cached XLA graph each")
+    p.add_argument("--batch", default="4",
+                   help="batch size; a comma list pairs with --size sizes "
+                        "(e.g. 8,4 — smaller batches for larger crops)")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--steps-per-epoch", type=int, default=500,
                    help="lr halves every epoch (ref schedule)")
@@ -115,8 +120,13 @@ def main():
     from woft_tpu.training.train import (TrainConfig, init_train_state,
                                          make_train_step)
 
-    H, W = (int(v) for v in args.size.split("x"))
-    assert H % 8 == 0 and W % 8 == 0
+    sizes = [tuple(int(v) for v in s.split("x"))
+             for s in args.size.split(",")]
+    assert all(H % 8 == 0 and W % 8 == 0 for H, W in sizes)
+    batches = [int(b) for b in str(args.batch).split(",")]
+    if len(batches) == 1:
+        batches = batches * len(sizes)
+    assert len(batches) == len(sizes), "--batch list must pair with --size"
 
     cfg = RaftConfig(variant="weighted", iters=args.iters,
                      precision="default")
@@ -164,8 +174,11 @@ def main():
     logger.info("%d training images", len(paths))
 
     rng = np.random.default_rng(args.seed)
-    stream = image_stream(paths, (H, W), args.batch, rng,
-                          scale_jitter=args.scale_jitter)
+    # one host-side batcher per crop size; sizes cycle round-robin per step
+    # (multi-scale batches — each (H,W,B) is its own cached XLA graph)
+    streams = [image_stream(paths, hw, b, rng,
+                            scale_jitter=args.scale_jitter)
+               for hw, b in zip(sizes, batches)]
     key = jax.random.PRNGKey(args.seed + 1)
 
     # synth under jit with the shift as a traced scalar: per-step motion
@@ -176,7 +189,7 @@ def main():
 
     # held-out validation batch with a fixed key: mean flow EPE vs the
     # exact H-induced field
-    val_images = jnp.asarray(next(stream))
+    val_images = jnp.asarray(next(streams[0]))
     val_batch = synth_homography_batch(
         jax.random.PRNGKey(12345), val_images,
         max_corner_shift=args.max_shift,
@@ -206,7 +219,8 @@ def main():
                                              np.log(args.max_shift))))
         else:
             shift = args.max_shift
-        batch = synth(sub, jnp.asarray(next(stream)), jnp.float32(shift))
+        batch = synth(sub, jnp.asarray(next(streams[i % len(streams)])),
+                      jnp.float32(shift))
         batch["key"] = mkey
         params, opt_state, loss = step(params, opt_state, prep(batch))
         if i % args.log_every == 0:
