@@ -60,3 +60,28 @@ def test_random_rect_mask_bounds():
         m = _random_rect_mask(jax.random.PRNGKey(i), 32, 48)
         frac = float(jnp.mean(m.astype(jnp.float32)))
         assert 0.05 < frac <= 0.85, frac
+
+
+def test_train_cli_multiscale(tmp_path, monkeypatch):
+    """End-to-end trainer CLI: multi-scale --size/--batch lists cycle per
+    step, train + val + rolling checkpoint all run (tiny 'small' net)."""
+    import cv2
+    import sys
+    import train_wraft
+
+    imgdir = tmp_path / "imgs"
+    imgdir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        img = rng.integers(0, 255, (80, 112, 3), dtype=np.uint8)
+        cv2.imwrite(str(imgdir / f"{i}.jpg"), img)
+
+    out = tmp_path / "ckpt"
+    monkeypatch.setattr(sys, "argv", [
+        "train_wraft.py", "--images", str(imgdir),
+        "--size", "32x32,32x48", "--batch", "2,1",
+        "--steps", "3", "--iters", "1", "--small",
+        "--log-every", "1", "--val-every", "2", "--ckpt-every", "2",
+        "--lr", "1e-4", "--train-flow", "--out", str(out)])
+    assert train_wraft.main() == 0
+    assert out.exists()

@@ -48,6 +48,8 @@ def parse_args():
     p.add_argument("--grad-clip", type=float, default=1.0,
                    help="global-norm gradient clip (0 = off)")
     p.add_argument("--iters", type=int, default=12)
+    p.add_argument("--small", action="store_true",
+                   help="tiny 'small' RAFT variant — smokes/tests only")
     p.add_argument("--init", type=Path,
                    help="torch .pth or orbax checkpoint to start from")
     p.add_argument("--out", type=Path, default=Path("weights/wraft_tpu"))
@@ -129,7 +131,9 @@ def main():
     assert len(batches) == len(sizes), "--batch list must pair with --size"
 
     cfg = RaftConfig(variant="weighted", iters=args.iters,
-                     precision="default")
+                     precision="default", small=args.small,
+                     **({"weight_head_structure": ((32, 3),)}
+                        if args.small else {}))
     tcfg = TrainConfig(learning_rate=args.lr, train_flow=args.train_flow,
                        steps_per_epoch=args.steps_per_epoch,
                        epe_weight=args.epe_weight,
