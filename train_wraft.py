@@ -28,8 +28,9 @@ logger = logging.getLogger(__name__)
 def parse_args():
     p = argparse.ArgumentParser(
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
-    p.add_argument("--images", type=Path, required=True,
-                   help="directory of training images (jpg/png)")
+    p.add_argument("--images", required=True,
+                   help="directory of training images (jpg/png); a comma "
+                        "list pools several directories")
     p.add_argument("--size", default="288x384",
                    help="train crop HxW (/8); a comma-separated list "
                         "(e.g. 288x384,448x576) cycles sizes per step — "
@@ -171,7 +172,8 @@ def main():
                        donate_argnums=(0, 1))
         prep = lambda b: b  # noqa: E731
 
-    paths = sorted(sum((glob.glob(str(args.images / f"*.{e}"))
+    paths = sorted(sum((glob.glob(str(Path(d) / f"*.{e}"))
+                        for d in str(args.images).split(",")
                         for e in ("jpg", "jpeg", "png")), []))
     if not paths:
         raise SystemExit(f"no images under {args.images}")
