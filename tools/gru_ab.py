@@ -67,6 +67,10 @@ def main():
     print(f"kernel vs xla:   max {mut.max():.4f} mean {mut.mean():.6f}")
     ok = e_ker.mean() < 1.25 * e_xla.mean() + 1e-5
     print("CORRECTNESS:", "PASS" if ok else "FAIL")
+    if not ok:
+        # the recovery ladder gates WOFT_BENCH_GRU=1 on this exit code —
+        # a FAIL must not silently enable the kernel in step 04
+        return 1
 
     # --- timing: chained 12-iteration loops (device-resident; one fetch) ---
     def loop(fn):
@@ -90,7 +94,9 @@ def main():
         dt = (time.time() - t0) / (reps * args.iters) * 1e3
         print(f"{name:7s}: {dt:.3f} ms per gated-update pair "
               f"({args.iters}x loop, {reps} reps)")
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    sys.exit(main())

@@ -35,6 +35,8 @@ def main():
     from woft_tpu.ops.warp import (grid_sample, perspective_coords,
                                    warp_perspective_fast)
 
+    failures = []
+
     H_img, W_img = 1080, 1920
     print(f"backend={jax.default_backend()} {H_img}x{W_img}", flush=True)
     rng = np.random.default_rng(0)
@@ -54,6 +56,7 @@ def main():
     a = np.asarray(gather(img, Hm))
     b = np.asarray(pallas(img, Hm))
     d = float(np.max(np.abs(a - b)))
+    failures.append(not d < 1e-3)
     print(f"compiled pallas vs gather max|delta| = {d:.3e} "
           f"({'PASS' if d < 1e-3 else 'FAIL'})", flush=True)
 
@@ -71,6 +74,7 @@ def main():
     a = np.asarray(gather(img, Hmid))
     b = np.asarray(pallas(img, Hmid))
     d = float(np.max(np.abs(a - b)))
+    failures.append(not d < 1e-3)
     print(f"mid-tier (1.4x zoom-out) max|delta| = {d:.3e} "
           f"({'PASS' if d < 1e-3 else 'FAIL'})", flush=True)
     t_m = timeit(pallas, img, Hmid)
@@ -85,6 +89,7 @@ def main():
     a = np.asarray(gather(img8, Hm))
     b = np.asarray(pallas_bf16(img8, Hm))
     d = float(np.max(np.abs(a - b)))
+    failures.append(not d <= 1.0)
     print(f"bf16-staged blend (uint8 frame) max|delta| = {d:.3e} "
           f"({'PASS' if d <= 1.0 else 'FAIL'})", flush=True)
     t_b = timeit(pallas_bf16, img8, Hm)
@@ -97,11 +102,12 @@ def main():
     a = np.asarray(gather(img, Hrot))
     b = np.asarray(pallas(img, Hrot))
     d = float(np.max(np.abs(a - b)))
+    failures.append(not d < 1e-3)
     print(f"out-of-envelope fallback max|delta| = {d:.3e} "
           f"({'PASS' if d < 1e-3 else 'FAIL'})")
     t_f = timeit(pallas, img, Hrot)
     print(f"fallback path: {t_f:8.2f} ms/frame")
-    return 0
+    return 1 if any(failures) else 0
 
 
 if __name__ == "__main__":
