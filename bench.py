@@ -35,10 +35,48 @@ Env knobs:
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+
+_PROBE = """
+import time, numpy as np
+t0 = time.time()
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+x = jnp.ones((1024, 1024), jnp.bfloat16)
+y = np.asarray(x @ x)
+print("PROBE_OK", round(time.time() - t0, 1))
+"""
+
+
+def _backend_healthy(timeout_s=None, retries=1):
+    """Probe the accelerator backend in a bounded subprocess.
+
+    The axon tunnel to the TPU can be down or degraded for hours at a
+    time (round 3 lost its entire perf record to an outage, rc=1 — see
+    VERDICT.md missing #1). A tiny cached matmul either returns within
+    seconds on a healthy backend or hangs; probing in a subprocess with
+    a hard timeout means an outage yields a parseable `skipped` JSON
+    row instead of a zeroed round. Retries once: a single slow probe
+    can be a cold cache or a draining compile server, not an outage."""
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("WOFT_BENCH_PROBE_TIMEOUT", 240))
+    for _ in range(retries + 1):
+        try:
+            r = subprocess.run([sys.executable, "-c", _PROBE],
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+            if r.returncode == 0 and "PROBE_OK" in r.stdout:
+                return True, r.stdout.strip().splitlines()[-1]
+            reason = (r.stderr or r.stdout or "no output").strip()
+            reason = reason.splitlines()[-1][:200] if reason else "no output"
+        except subprocess.TimeoutExpired:
+            reason = f"probe hung >{timeout_s}s (tunnel down)"
+    return False, reason
 
 
 def _make_cfg(jax, precision):
@@ -243,6 +281,23 @@ def bench_multi(jax, jnp, H, W, n_frames, precision, window, n_targets=8):
 
 
 def main():
+    H = int(os.environ.get("WOFT_BENCH_H", 1080))
+    W = int(os.environ.get("WOFT_BENCH_W", 1920))
+    mode = os.environ.get("WOFT_BENCH_TRACKER", "window")
+    window = int(os.environ.get("WOFT_BENCH_WINDOW", 256))
+    if not os.environ.get("WOFT_BENCH_NO_PROBE"):
+        ok, detail = _backend_healthy()
+        if not ok:
+            # Outage != failure: always emit parseable JSON (rc=0) so the
+            # driver records a distinguishable skip instead of rc=1.
+            print(json.dumps({
+                "metric": (f"tracked {H}x{W} frames/sec/chip "
+                           f"({mode} tracker)"),
+                "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+                "skipped": f"backend unavailable: {detail}",
+            }))
+            return 0
+
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_COMPILATION_CACHE_DIR",
@@ -250,12 +305,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    H = int(os.environ.get("WOFT_BENCH_H", 1080))
-    W = int(os.environ.get("WOFT_BENCH_W", 1920))
     n_frames = int(os.environ.get("WOFT_BENCH_FRAMES", 30))
     precision = os.environ.get("WOFT_BENCH_PRECISION", "bf16")
-    mode = os.environ.get("WOFT_BENCH_TRACKER", "window")
-    window = int(os.environ.get("WOFT_BENCH_WINDOW", 256))
     H -= H % 8
     W -= W % 8
 
@@ -286,6 +337,11 @@ def main():
     if flops is not None:
         row["tflop_per_frame"] = round(flops / 1e12, 3)
         row["mfu_pct"] = round(100.0 * flops * fps / PEAK_FLOPS, 2)
+        if redetect != "always":
+            # XLA cost analysis sums BOTH lax.cond branches' FLOPs, so
+            # cond-bearing redetection graphs overstate per-frame work
+            # and MFU; quote MFU from redetect=always runs.
+            row["mfu_note"] = "cost analysis counts both cond branches"
     print(json.dumps(row))
     return 0
 

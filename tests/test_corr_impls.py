@@ -321,11 +321,50 @@ def test_fine_slab_lookup_matches_full_on_smooth_coords():
     np.testing.assert_allclose(fine, full, atol=1e-6, rtol=0)
 
 
+def test_fine_slab_spread_overflow_falls_back_to_exact():
+    """With the default spread check, coords whose intra-block slab-start
+    spread exceeds the fine envelope make the lookup lax.cond-fall back
+    to the exact full-slab kernel — no silent clamping on the default
+    path (advisor r3 medium finding)."""
+    from woft_tpu.models.corr import (build_local_corr,
+                                      corr_lookup_local_blocked)
+    from woft_tpu.ops.pallas import local_corr as plc
+    from woft_tpu.ops.pallas import local_lookup as pll
+
+    rng = np.random.default_rng(11)
+    H1, W1, D = 8, 16, 64          # one 8x16 block
+    radius, margin = 4, 8
+    f1 = jnp.asarray(rng.normal(size=(1, H1, W1, D)), jnp.float32)
+    f2 = jnp.asarray(rng.normal(size=(1, H1, W1, D)), jnp.float32)
+
+    ys, xs = np.meshgrid(np.arange(H1, dtype=np.float32),
+                         np.arange(W1, dtype=np.float32), indexing="ij")
+    grid = np.stack([xs, ys], -1)[None]
+    # +-20 px independent jitter: way beyond any fine envelope
+    res = rng.uniform(-20.0, 20.0, grid.shape).astype(np.float32)
+    coords = jnp.asarray(grid + res)
+
+    with _interpret_pallas(plc, pll):
+        vp = build_local_corr(f1, f2, radius=radius, num_levels=1,
+                              margin=margin, use_pallas=True, layout="p")
+        checked = np.asarray(
+            corr_lookup_local_blocked(vp, coords, radius, fine=True).data)
+        exact = np.asarray(
+            corr_lookup_local_blocked(vp, coords, radius, fine=False).data)
+        unchecked = np.asarray(
+            corr_lookup_local_blocked(vp, coords, radius, fine=True,
+                                      check=False).data)
+    # the guard routes to the exact kernel...
+    np.testing.assert_allclose(checked, exact, atol=2e-5, rtol=1e-5)
+    # ...and genuinely matters: the unchecked fine kernel clamps here
+    assert np.abs(unchecked - exact).max() > 1e-3
+
+
 def test_fine_slab_spread_overflow_clamps_to_fine_window():
-    """Beyond the intra-block spread envelope the fine kernel reads the
-    nearest covered slab start (per-axis clamp, bilinear frac preserved)
-    — verified against the full-slab kernel at analytically clamped
-    coords."""
+    """Beyond the intra-block spread envelope the unchecked fine kernel
+    reads the nearest covered slab start (per-axis clamp, bilinear frac
+    preserved) — verified against the full-slab kernel at analytically
+    clamped coords."""
     from woft_tpu.models.corr import (build_local_corr,
                                       corr_lookup_local_blocked)
     from woft_tpu.ops.pallas import local_corr as plc
@@ -347,7 +386,8 @@ def test_fine_slab_spread_overflow_clamps_to_fine_window():
         vp = build_local_corr(f1, f2, radius=radius, num_levels=1,
                               margin=margin, use_pallas=True, layout="p")
         fine = np.asarray(
-            corr_lookup_local_blocked(vp, coords, radius, fine=True).data)
+            corr_lookup_local_blocked(vp, coords, radius, fine=True,
+                                      check=False).data)
 
         # reconstruct the per-block fine anchors and clamp the coords the
         # way _fine_anchor_weights does, then look THOSE up with the

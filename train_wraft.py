@@ -234,13 +234,24 @@ def main():
             logger.info("step %d  loss %.4f  (%.2f s/step)", i, loss_f,
                         (time.time() - t0) / max(i, 1))
             if not np.isfinite(loss_f):
-                # params are already poisoned (the forward itself is
-                # non-finite) — halting preserves the last good rolling
-                # checkpoint instead of overwriting it (r3 lesson: a
-                # diverged run saved nan weights at the next ckpt_every)
-                logger.error("non-finite loss at step %d — halting; last "
-                             "rolling checkpoint is the survivor", i)
-                return 1
+                # A non-finite loss can be a single degenerate batch whose
+                # update apply_if_finite already skipped (params still
+                # good) — only halt if the params themselves are poisoned,
+                # preserving the last good rolling checkpoint (r3 lesson:
+                # a diverged run saved nan weights at the next ckpt_every).
+                leaves = jax.tree.leaves(params)
+                params_ok = all(bool(jnp.all(jnp.isfinite(l)))
+                                for l in leaves)
+                if params_ok:
+                    logger.warning("non-finite loss at step %d but params "
+                                   "finite — degenerate batch, update "
+                                   "skipped by apply_if_finite; continuing",
+                                   i)
+                else:
+                    logger.error("non-finite loss AND non-finite params at "
+                                 "step %d — halting; last rolling "
+                                 "checkpoint is the survivor", i)
+                    return 1
         if args.val_every and i % args.val_every == 0:
             logger.info("step %d  val EPE %.3f px", i, float(val_epe(params)))
         if args.ckpt_every and i and i % args.ckpt_every == 0:

@@ -455,7 +455,7 @@ def build_local_corr(fmap1, fmap2, radius=4, num_levels=4, margin=16,
     f1b = f1b.reshape(nb, bq, D)
     if use_pallas is None:
         # the Pallas kernel is the TPU production path; XLA everywhere else
-        use_pallas = jax.default_backend() not in ("cpu",)
+        use_pallas = jax.default_backend() == "tpu"
 
     volumes = []
     lv = fmap2[0]                                          # (Hl, Wl, D)
@@ -582,11 +582,12 @@ def _fine_anchor_weights(c, size, radius, fine, align=1):
     """Per-block fine-window anchor + relative two-hot weights, one axis.
 
     c: (NB, BQ) clamped window-local coords. Returns (anchor (NB,) s32 —
-    a multiple of ``align`` — and (NB, fine - 2*radius, BQ) f32 weights
-    relative to it). Starts landing outside the fine range are clamped to
-    its edge — window-edge saturation semantics, relative to the block's
-    own fine window (see ops/pallas/local_lookup.py
-    block_local_lookup_fine)."""
+    a multiple of ``align`` — (NB, fine - 2*radius, BQ) f32 weights
+    relative to it, and a scalar bool: True iff every query's slab start
+    landed inside its block's fine window, i.e. the fine lookup is exact).
+    Starts landing outside the fine range are clamped to its edge —
+    window-edge saturation semantics, relative to the block's own fine
+    window (see ops/pallas/local_lookup.py block_local_lookup_fine)."""
     f32 = jnp.float32
     c0 = jnp.floor(c)
     frac = (c - c0).astype(f32)
@@ -596,13 +597,19 @@ def _fine_anchor_weights(c, size, radius, fine, align=1):
     if align > 1:
         anchor = (anchor // align) * align
     anchor = jnp.clip(anchor, 0, max(size - fine, 0))
-    rel = jnp.clip(s0 - anchor[:, None], 0, nf - 2)
+    rel_raw = s0 - anchor[:, None]
+    # anchor <= min(s0) always (align rounds down, the clip ceiling
+    # size-fine only lowers it), so only the UPPER bound can be violated:
+    # intra-block slab-start spread exceeding the fine extent (high
+    # shear/rotation residuals, mixed saturated/smooth blocks).
+    ok = jnp.all(rel_raw <= nf - 2)
+    rel = jnp.clip(rel_raw, 0, nf - 2)
     ids = jnp.arange(nf, dtype=jnp.int32)[None, :, None]
     rel = rel[:, None, :]
     frac = frac[:, None, :]
     w = ((ids == rel).astype(f32) * (1.0 - frac)
          + (ids == rel + 1).astype(f32) * frac)
-    return anchor, w
+    return anchor, w, ok
 
 
 def _fine_extents(d, k):
@@ -619,15 +626,22 @@ def _fine_extents(d, k):
     return fr, fc
 
 
-def corr_lookup_local_blocked(local, coords, radius=4, fine=True):
+def corr_lookup_local_blocked(local, coords, radius=4, fine=True,
+                              check=True):
     """Pallas slab lookup -> BlockedCorr (requires layout='p' volumes).
 
     coords: (1, H1, W1, 2) level-0 centroids in natural raster order.
     ``fine``: use the dynamic sub-window kernel (~4x fewer VPU FLOPs at
     margin 16; exact while each block's intra-block slab-start spread
     fits its fine window — see _fine_extents/block_local_lookup_fine).
-    All levels run in ONE kernel launch (block_local_lookup_fine_multi):
-    per-block grid/DMA overhead is paid once, not per level."""
+    ``check`` (fine only): verify that spread condition analytically per
+    block and lax.cond-fall back to the exact full-slab kernel when ANY
+    block violates it (high-shear/rotation residuals, mixed
+    saturated/smooth blocks) — the same guard discipline as the
+    block-warp kernel's pose envelope. The untaken branch is free at
+    steady state. All fine levels run in ONE kernel launch
+    (block_local_lookup_fine_multi): per-block grid/DMA overhead is paid
+    once, not per level."""
     from ..ops.pallas.local_lookup import (block_local_lookup,
                                            block_local_lookup_fine_multi)
 
@@ -639,14 +653,26 @@ def corr_lookup_local_blocked(local, coords, radius=4, fine=True):
     k = 2 * radius + 1
 
     cb = _to_blocked(coords.reshape(H1 * W1, 2), meta).reshape(nb, bq, 2)
+    level_coords = list(_local_level_coords(local, cb, radius))
+
+    def _exact():
+        outs = []
+        for vol, (d, c) in zip(local.volumes, level_coords):
+            wy = _slab_weights(c[..., 1], d["wh"], radius)  # (NB, n_s, BQ)
+            wx = _slab_weights(c[..., 0], d["ww"], radius)  # (NB, n_t, BQ)
+            outs.append(block_local_lookup(vol, wy, wx, k))
+        return jnp.concatenate(outs, axis=1)               # (NB, L*k*k, BQ)
+
     if fine:
         rcs, wyfs, wxfs, exts = [], [], [], []
-        for vol, (d, c) in zip(local.volumes,
-                               _local_level_coords(local, cb, radius)):
+        ok = jnp.bool_(True)
+        for vol, (d, c) in zip(local.volumes, level_coords):
             fr, fc = _fine_extents(d, k)
-            r0, wyf = _fine_anchor_weights(c[..., 1], d["wh"], radius, fr)
-            c0, wxf = _fine_anchor_weights(c[..., 0], d["ww"], radius, fc,
-                                           align=8)
+            r0, wyf, oy = _fine_anchor_weights(c[..., 1], d["wh"], radius,
+                                               fr)
+            c0, wxf, ox = _fine_anchor_weights(c[..., 0], d["ww"], radius,
+                                               fc, align=8)
+            ok = ok & oy & ox
             rcs.append(jnp.stack([r0, c0], -1))
             wyfs.append(wyf)
             wxfs.append(wxf)
@@ -655,18 +681,20 @@ def corr_lookup_local_blocked(local, coords, radius=4, fine=True):
         # stays f32 in-kernel; the motion encoder reads them bf16 anyway
         od = (local.volumes[0].dtype
               if local.volumes[0].dtype == jnp.bfloat16 else None)
-        data = block_local_lookup_fine_multi(
-            jnp.stack(rcs, 1), list(local.volumes), wyfs, wxfs, k,
-            tuple(exts), out_dtype=od)
+
+        def _fine():
+            return block_local_lookup_fine_multi(
+                jnp.stack(rcs, 1), list(local.volumes), wyfs, wxfs, k,
+                tuple(exts), out_dtype=od)
+
+        if check:
+            out_dt = od or jnp.float32
+            data = jax.lax.cond(ok, _fine,
+                                lambda: _exact().astype(out_dt))
+        else:
+            data = _fine()
         return BlockedCorr(data, meta, len(local.volumes), k)
-    outs = []
-    for vol, (d, c) in zip(local.volumes,
-                           _local_level_coords(local, cb, radius)):
-        wy = _slab_weights(c[..., 1], d["wh"], radius)     # (NB, n_s, BQ)
-        wx = _slab_weights(c[..., 0], d["ww"], radius)     # (NB, n_t, BQ)
-        outs.append(block_local_lookup(vol, wy, wx, k))
-    data = jnp.concatenate(outs, axis=1)                   # (NB, L*k*k, BQ)
-    return BlockedCorr(data, meta, len(local.volumes), k)
+    return BlockedCorr(_exact(), meta, len(local.volumes), k)
 
 
 def corr_lookup_local(local, coords, radius=4, fine=True):

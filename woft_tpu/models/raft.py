@@ -584,7 +584,7 @@ def _raft_forward(params, cfg, image1, image2, flow_init, iters,
         vol_dtype = (jnp.bfloat16 if cfg.precision in ("default", "bf16")
                      else None)
         use_p = (cfg.local_pallas if cfg.local_pallas is not None
-                 else jax.default_backend() not in ("cpu",))
+                 else jax.default_backend() == "tpu")
         local_vol = build_local_corr(
             fmap1.astype(jnp.float32), fmap2.astype(jnp.float32),
             radius, cfg.corr_levels, margin=cfg.local_margin,
@@ -667,12 +667,12 @@ def _raft_forward(params, cfg, image1, image2, flow_init, iters,
            precompute_gru_context(params["update_block"]["gru"], inp, hdim))
     gru_pallas = cfg.gru_pallas
     if gru_pallas is None:
-        gru_pallas = jax.default_backend() not in ("cpu",)
+        gru_pallas = jax.default_backend() == "tpu"
     gru_pallas = (gru_pallas and not cfg.small and B == 1
                   and cfg.compute_dtype == jnp.bfloat16)
     tail_pallas = cfg.tail_pallas
     if tail_pallas is None:
-        tail_pallas = jax.default_backend() not in ("cpu",)
+        tail_pallas = jax.default_backend() == "tpu"
     tail_pallas = (tail_pallas and not cfg.small and B == 1
                    and cfg.compute_dtype == jnp.bfloat16)
 
