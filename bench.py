@@ -93,6 +93,9 @@ def _make_cfg(jax, precision):
     tail = os.environ.get("WOFT_BENCH_TAIL")    # '0'/'1': fused motion-
     if tail is not None:                        # encoder + flow-head kernels
         kw["tail_pallas"] = tail not in ("0", "off", "false")
+    fc = os.environ.get("WOFT_BENCH_FINECHECK")  # '0': drop the fine-slab
+    if fc is not None:                           # spread guard (+cond)
+        kw["fine_check"] = fc not in ("0", "off", "false")
     return RaftConfig(variant="weighted", iters=12, precision=precision,
                       **kw)
 

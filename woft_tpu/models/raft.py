@@ -62,6 +62,10 @@ class RaftConfig:
                                         # flow-head kernels in the loop
                                         # (ops/pallas/update_tail.py; same
                                         # gating as gru_pallas)
+    fine_check: bool = True            # corr_impl='local' fine lookups:
+                                       # analytic spread guard with exact
+                                       # full-slab lax.cond fallback (see
+                                       # corr.corr_lookup_local_blocked)
     precision: str = "highest"         # 'highest' | 'default' | 'bf16'
 
     @property
@@ -597,7 +601,8 @@ def _raft_forward(params, cfg, image1, image2, flow_init, iters,
             # hot loop: blocked Pallas slab lookup, zero relayouts (the
             # motion encoder's convc1 absorbs layout + channel order)
             def lookup(coords):
-                return corr_lookup_local_blocked(local_vol, coords, radius)
+                return corr_lookup_local_blocked(local_vol, coords, radius,
+                                                 check=cfg.fine_check)
 
             def lookup_natural(coords):
                 return corr_lookup_local(local_vol, coords, radius)

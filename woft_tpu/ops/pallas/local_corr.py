@@ -56,6 +56,52 @@ def _make_kernel(sh, sw, wh, ww, nbw, scale, p_major):
     return kernel
 
 
+def _corr_ref(f1b, f2pad, sh, sw, wh, ww, nbh, nbw, out_dtype, p_major):
+    """XLA twin of the construction kernel (static strided-slice bands +
+    one einsum per block batch) — the backward-pass oracle. Identical
+    math to models/corr.py build_local_corr's XLA fallback."""
+    nb, bq, d = f1b.shape
+    scale = 1.0 / math.sqrt(d)
+    bands = jnp.stack([
+        jax.lax.slice_in_dim(f2pad, by * sh, by * sh + wh, axis=0)
+        for by in range(nbh)])                             # (nbh,wh,Wp,D)
+    patches = jnp.stack([
+        jax.lax.slice_in_dim(bands, bx * sw // 8 * 8,
+                             bx * sw // 8 * 8 + ww, axis=2)
+        for bx in range(nbw)], axis=1)                     # (nbh,nbw,wh,ww,D)
+    patches = patches.reshape(nbh * nbw, wh * ww, d)
+    if p_major:
+        corr = jnp.einsum("bpd,bqd->bpq", patches, f1b,
+                          preferred_element_type=jnp.float32)
+    else:
+        corr = jnp.einsum("bqd,bpd->bqp", f1b, patches,
+                          preferred_element_type=jnp.float32)
+    return (corr * scale).astype(out_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def _corr_vjp(f1b, f2pad, sh, sw, wh, ww, nbh, nbw, out_dtype, p_major):
+    return _corr_pallas(f1b, f2pad, sh, sw, wh, ww, nbh, nbw, out_dtype,
+                        p_major)
+
+
+def _corr_fwd(f1b, f2pad, sh, sw, wh, ww, nbh, nbw, out_dtype, p_major):
+    out = _corr_pallas(f1b, f2pad, sh, sw, wh, ww, nbh, nbw, out_dtype,
+                       p_major)
+    return out, (f1b, f2pad)
+
+
+def _corr_bwd(sh, sw, wh, ww, nbh, nbw, out_dtype, p_major, res, g):
+    f1b, f2pad = res
+    _, vjp_fn = jax.vjp(
+        lambda a, b: _corr_ref(a, b, sh, sw, wh, ww, nbh, nbw, out_dtype,
+                               p_major), f1b, f2pad)
+    return vjp_fn(g)
+
+
+_corr_vjp.defvjp(_corr_fwd, _corr_bwd)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("sh", "sw", "wh", "ww", "nbh", "nbw",
                                     "out_dtype", "p_major"))
@@ -73,7 +119,15 @@ def block_local_corr(f1b, f2pad, sh, sw, wh, ww, nbh, nbw, out_dtype,
             operands, so no transpose exists anywhere).
     Returns:
         (nb, BQ, wh*ww), or (nb, wh*ww, BQ) when ``p_major``.
+        Differentiable w.r.t. f1b/f2pad (jax.custom_vjp; backward via the
+        XLA twin `_corr_ref` — the reference kernel's bwd analog,
+        ref:alt_cuda_corr/correlation_kernel.cu:122-256).
     """
+    return _corr_vjp(f1b, f2pad, sh, sw, wh, ww, nbh, nbw, out_dtype,
+                     p_major)
+
+
+def _corr_pallas(f1b, f2pad, sh, sw, wh, ww, nbh, nbw, out_dtype, p_major):
     nb, bq, d = f1b.shape
     scale = 1.0 / math.sqrt(d)
     out_shape = ((nb, wh * ww, bq) if p_major else (nb, bq, wh * ww))

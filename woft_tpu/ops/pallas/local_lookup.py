@@ -36,14 +36,40 @@ TRANSPOSE of the torch lookup order c = i*k + j. Consumers either fold
 the swap into their channel-reduction weights (models/raft.py blocked
 motion encoder) or transpose once when converting to the natural layout
 (models/corr.py corr_lookup_local for p-layout volumes).
+
+Gradients: the reference CUDA sampler ships fwd+bwd
+(ref:pytracking/external/RAFT/alt_cuda_corr/correlation_kernel.cu:122-256);
+here each kernel carries a jax.custom_vjp whose backward differentiates an
+XLA twin of the same slab math (`_lookup_ref` / `_fine_multi_ref`) — the
+Pallas forward stays on the hot path while train-time cotangents come from
+fusible XLA shifted-adds (training runs at small resolutions where the XLA
+formulation is fine). Weight cotangents (d_wy/d_wx, i.e. coordinate
+gradients) are computed exactly but are dead code in RAFT training (coords
+are detached per iteration, ref:weighted_raft.py:229) and get DCE'd.
 """
 
 import functools
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _slab_blend(win, wy, wx, k):
+    """XLA twin of one block's slab blend: (wh, ww, bq) f32 window +
+    two-hot slab-start weights -> (k*k, bq) f32, c = j*k + i."""
+    nsf = win.shape[0] - k + 1
+    ntf = win.shape[1] - k + 1
+    acc1 = win[0:k] * wy[0][None, None, :]
+    for s in range(1, nsf):
+        acc1 = acc1 + win[s:s + k] * wy[s][None, None, :]
+    acc2 = acc1[:, 0:k, :] * wx[0][None, None, :]
+    for t in range(1, ntf):
+        acc2 = acc2 + acc1[:, t:t + k, :] * wx[t][None, None, :]
+    return acc2.reshape(k * k, win.shape[-1])
 
 
 def _make_kernel(wh, ww, k):
@@ -237,26 +263,7 @@ def _make_fine_multi_kernel(k, exts, L):
     return kernel
 
 
-def block_local_lookup_fine_multi(rcs, vols, wyfs, wxfs, k, exts,
-                                  out_dtype=None):
-    """All pyramid levels' fine-slab lookups in ONE kernel launch.
-
-    Four separate `block_local_lookup_fine` calls pay the per-block grid
-    step + DMA issue cost four times; measured on v5e the small levels
-    cost nearly as much as level 0 (~0.6 us/block fixed overhead). This
-    variant runs one 255-step grid, keeps all L levels' sub-window DMAs
-    in flight together (double-buffered), and emits the concatenated
-    (nb, L*k*k, bq) lookup directly — the exact layout the blocked motion
-    encoder consumes.
-
-    Args:
-        rcs: (nb, L, 2) int32 per-level [r0, c0]; c0 multiples of 8.
-        vols: list of L (nb, wh_l, ww_l, bq) p-layout volumes (HBM).
-        wyfs/wxfs: per-level two-hot weights as in block_local_lookup_fine.
-        k: window size; exts: tuple of L (fr, fc) fine extents.
-    Returns:
-        (nb, L*k*k, bq) out_dtype, level-major, c = j*k + i within level.
-    """
+def _fine_multi_pallas(rcs, vols, wyfs, wxfs, k, exts, out_dtype):
     L = len(vols)
     nb, _, _, bq = vols[0].shape
     out_dtype = jnp.float32 if out_dtype is None else out_dtype
@@ -285,6 +292,103 @@ def block_local_lookup_fine_multi(rcs, vols, wyfs, wxfs, k, exts,
     )(rcs, *vols, *wyfs, *wxfs)
 
 
+def _fine_multi_ref(rcs, vols, wyfs, wxfs, k, exts, out_dtype):
+    """XLA twin of the fine-multi kernel (same math, vmapped dynamic
+    slices instead of per-block DMAs) — the backward-pass oracle."""
+    f32 = jnp.float32
+    outs = []
+    for l, (vol, wyf, wxf, (fr, fc)) in enumerate(zip(vols, wyfs, wxfs,
+                                                      exts)):
+        bq = vol.shape[-1]
+
+        def one(vol_b, rc_b, wy_b, wx_b):
+            win = jax.lax.dynamic_slice(
+                vol_b, (rc_b[0], rc_b[1], 0),
+                (fr, fc, bq)).astype(f32)
+            return _slab_blend(win, wy_b, wx_b, k)
+
+        outs.append(jax.vmap(one)(vol, rcs[:, l], wyf, wxf))
+    return jnp.concatenate(outs, axis=1).astype(out_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fine_multi_vjp(k, exts, out_dtype, rcs, vols, wyfs, wxfs):
+    return _fine_multi_pallas(rcs, list(vols), list(wyfs), list(wxfs), k,
+                              exts, out_dtype)
+
+
+def _fine_multi_fwd(k, exts, out_dtype, rcs, vols, wyfs, wxfs):
+    out = _fine_multi_vjp(k, exts, out_dtype, rcs, vols, wyfs, wxfs)
+    return out, (rcs, vols, wyfs, wxfs)
+
+
+def _fine_multi_bwd(k, exts, out_dtype, res, g):
+    rcs, vols, wyfs, wxfs = res
+    _, vjp_fn = jax.vjp(
+        lambda v, a, b: _fine_multi_ref(rcs, list(v), list(a), list(b), k,
+                                        exts, out_dtype), vols, wyfs, wxfs)
+    d_vols, d_wyfs, d_wxfs = vjp_fn(g)
+    d_rcs = np.zeros(rcs.shape, jax.dtypes.float0)     # int anchors
+    return d_rcs, d_vols, d_wyfs, d_wxfs
+
+
+_fine_multi_vjp.defvjp(_fine_multi_fwd, _fine_multi_bwd)
+
+
+def block_local_lookup_fine_multi(rcs, vols, wyfs, wxfs, k, exts,
+                                  out_dtype=None):
+    """All pyramid levels' fine-slab lookups in ONE kernel launch.
+
+    Four separate `block_local_lookup_fine` calls pay the per-block grid
+    step + DMA issue cost four times; measured on v5e the small levels
+    cost nearly as much as level 0 (~0.6 us/block fixed overhead). This
+    variant runs one 255-step grid, keeps all L levels' sub-window DMAs
+    in flight together (double-buffered), and emits the concatenated
+    (nb, L*k*k, bq) lookup directly — the exact layout the blocked motion
+    encoder consumes.
+
+    Differentiable w.r.t. vols/wyfs/wxfs (jax.custom_vjp; backward via
+    the XLA twin `_fine_multi_ref` — see module docstring). The int32
+    anchors get a symbolic-zero cotangent.
+
+    Args:
+        rcs: (nb, L, 2) int32 per-level [r0, c0]; c0 multiples of 8.
+        vols: list of L (nb, wh_l, ww_l, bq) p-layout volumes (HBM).
+        wyfs/wxfs: per-level two-hot weights as in block_local_lookup_fine.
+        k: window size; exts: tuple of L (fr, fc) fine extents.
+    Returns:
+        (nb, L*k*k, bq) out_dtype, level-major, c = j*k + i within level.
+    """
+    out_dtype = jnp.float32 if out_dtype is None else out_dtype
+    return _fine_multi_vjp(k, tuple(exts), out_dtype, rcs, tuple(vols),
+                           tuple(wyfs), tuple(wxfs))
+
+
+def _lookup_ref(vol, wy, wx, k):
+    """XLA twin of the full-slab kernel — the backward-pass oracle."""
+    return jax.vmap(lambda v, a, b: _slab_blend(v.astype(jnp.float32), a,
+                                                b, k))(vol, wy, wx)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _lookup_vjp(k, vol, wy, wx):
+    return _lookup_pallas(vol, wy, wx, k)
+
+
+def _lookup_fwd(k, vol, wy, wx):
+    return _lookup_pallas(vol, wy, wx, k), (vol, wy, wx)
+
+
+def _lookup_bwd(k, res, g):
+    vol, wy, wx = res
+    _, vjp_fn = jax.vjp(lambda v, a, b: _lookup_ref(v, a, b, k),
+                        vol, wy, wx)
+    return vjp_fn(g)
+
+
+_lookup_vjp.defvjp(_lookup_fwd, _lookup_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def block_local_lookup(vol, wy, wx, k):
     """Bilinear window lookup against a query-minor block-local volume.
@@ -299,14 +403,21 @@ def block_local_lookup(vol, wy, wx, k):
         k: window size (2*radius + 1).
     Returns:
         (nb, k*k, bq) f32 — channel order c = j*k + i (y-major; see
-        module docstring).
+        module docstring). Differentiable w.r.t. all three operands
+        (jax.custom_vjp; backward via the XLA twin `_lookup_ref`).
     """
     nb, wh, ww, bq = vol.shape
     n_s = wh - k + 1
     n_t = ww - k + 1
     assert wy.shape == (nb, n_s, bq), (wy.shape, (nb, n_s, bq))
     assert wx.shape == (nb, n_t, bq), (wx.shape, (nb, n_t, bq))
+    return _lookup_vjp(k, vol, wy, wx)
 
+
+def _lookup_pallas(vol, wy, wx, k):
+    nb, wh, ww, bq = vol.shape
+    n_s = wh - k + 1
+    n_t = ww - k + 1
     return pl.pallas_call(
         _make_kernel(wh, ww, k),
         grid=(nb,),
