@@ -42,7 +42,7 @@ def test_multi_target_tracks_three_boxes():
             self.wp = wp
             inner = build_window_track_step(self.cfg, self.tp, wp,
                                             flow_fn=zero_flow)
-            pure = inner.__wrapped__
+            pure = inner._raw_step
 
             def batched(params, states, frame):
                 return jax.vmap(lambda s: pure(params, s, frame))(states)

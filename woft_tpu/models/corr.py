@@ -62,7 +62,8 @@ def corr_mean_response(fmap1, fmap2):
 
 
 def corr_pyramid_fused(fmap1, fmap2, num_levels=4, pad=0, out_dtype=None,
-                       precision=jax.lax.Precision.HIGHEST):
+                       precision=jax.lax.Precision.HIGHEST,
+                       shard_level=None):
     """Build the correlation pyramid directly from pooled feature maps.
 
     The reference materializes the level-0 all-pairs volume and average-pools
@@ -86,6 +87,13 @@ def corr_pyramid_fused(fmap1, fmap2, num_levels=4, pad=0, out_dtype=None,
         pad: symmetric spatial zero pad per level (0 = reference layout).
         out_dtype: volume storage dtype (None = einsum natural dtype; pass
             jnp.bfloat16 to halve HBM traffic on the relaxed-precision path).
+        shard_level: optional ``(level_idx, corr_l) -> corr_l`` hook applied
+            to each level — the spatial scale-out seam
+            (parallel/sharding.py::spatial_sharded_forward pins each level's
+            key-column axis to the ``sp`` mesh axis here). When set, levels
+            are built with an unflattened ``bnd,bhwd->bnhw`` einsum so the
+            Wl axis reaches the hook unmerged (a merged ``hl*wl`` axis with
+            a minor-dim sharding is inexpressible to GSPMD).
     Returns:
         (pyramid list [(Q, Hl+2p, Wl+2p)], mean_response (B, H, W)).
     """
@@ -103,10 +111,16 @@ def corr_pyramid_fused(fmap1, fmap2, num_levels=4, pad=0, out_dtype=None,
         else:
             lv_in = lv
         hl, wl = lv_in.shape[1:3]
-        corr_l = jnp.einsum("bnd,bpd->bnp", f1,
-                            lv_in.reshape(B, hl * wl, D),
-                            precision=precision)
-        corr_l = (corr_l * scale.astype(corr_l.dtype)).reshape(Q, hl, wl)
+        if shard_level is None:
+            corr_l = jnp.einsum("bnd,bpd->bnp", f1,
+                                lv_in.reshape(B, hl * wl, D),
+                                precision=precision)
+            corr_l = (corr_l * scale.astype(corr_l.dtype)).reshape(Q, hl, wl)
+        else:
+            corr_l = jnp.einsum("bnd,bhwd->bnhw", f1, lv_in,
+                                precision=precision)
+            corr_l = (corr_l * scale.astype(corr_l.dtype)).reshape(Q, hl, wl)
+            corr_l = shard_level(l, corr_l)
         pyramid.append(corr_l if out_dtype is None
                        else corr_l.astype(out_dtype))
         if l + 1 < num_levels:

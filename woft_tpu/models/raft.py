@@ -509,7 +509,7 @@ def encode_template(params, cfg: RaftConfig, image1):
 
 def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
                           flow_init=None, iters=None, template_feats=None,
-                          sparse_weight_head=False):
+                          sparse_weight_head=False, corr_shard=None):
     """Estimate flow (and reliability weights) between two frames.
 
     Args:
@@ -528,6 +528,12 @@ def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
             dims, ref:weighted_raft.py:347-384), so evaluating it only at
             the cells the tracker's 500-point solver consumes is exact and
             ~65x cheaper at 1080p. B must be 1.
+        corr_shard: optional ``(level_idx, corr_l) -> corr_l`` hook pinning
+            each pyramid level's sharding (spatial scale-out: the hook
+            constrains key columns to the ``sp`` mesh axis and the onehot
+            lookup's window einsum psums a tiny (Q, k+1, k+1) partial —
+            parallel/sharding.py::spatial_sharded_forward). Pyramid
+            ``corr_impl``s only ('onehot'/'gather'/'rowgather').
     Returns:
         dict with 'flow' (B,H/8,W/8,2), 'flow_up' (B,H,W,2) and for weighted
         variants 'weights' (B,H/8,W/8,1), 'weights_up' (B,H,W,1), plus
@@ -536,11 +542,11 @@ def weighted_raft_forward(params, cfg: RaftConfig, image1, image2,
     """
     with layers.precision_scope(cfg.lax_precision, cfg.compute_dtype):
         return _raft_forward(params, cfg, image1, image2, flow_init, iters,
-                             template_feats, sparse_weight_head)
+                             template_feats, sparse_weight_head, corr_shard)
 
 
 def _raft_forward(params, cfg, image1, image2, flow_init, iters,
-                  template_feats, sparse_weight_head):
+                  template_feats, sparse_weight_head, corr_shard=None):
     iters = cfg.iters if iters is None else iters
 
     x2 = 2.0 * (image2 / 255.0) - 1.0
@@ -578,7 +584,7 @@ def _raft_forward(params, cfg, image1, image2, flow_init, iters,
                                          cfg.corr_levels,
                                          chunk=min(cfg.alt_chunk,
                                                    B * H1 * W1))
-    elif cfg.corr_impl == "local" and B == 1:
+    elif cfg.corr_impl == "local" and B == 1 and corr_shard is None:
         # block-local recentered volume: the TPU fast path (see
         # corr.build_local_corr) — exact within +-local_margin cells of
         # post-prewarp residual, saturated beyond
@@ -623,7 +629,8 @@ def _raft_forward(params, cfg, image1, image2, flow_init, iters,
         pyramid, mean_response = corr_pyramid_fused(
             fmap1.astype(jnp.float32), fmap2.astype(jnp.float32),
             cfg.corr_levels, pad=_pad_amount(radius) if sliced_impl else 0,
-            out_dtype=vol_dtype, precision=cfg.lax_precision)
+            out_dtype=vol_dtype, precision=cfg.lax_precision,
+            shard_level=corr_shard)
 
         if cfg.corr_impl == "pallas":
             if jax.default_backend() == "tpu":

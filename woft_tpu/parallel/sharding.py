@@ -53,8 +53,9 @@ def sharded_track_batch(mesh, raft_cfg, tp, flow_fn=None):
     from ..tracker.woft import build_track_step
 
     inner = build_track_step(raft_cfg, tp, flow_fn=flow_fn)
-    # build_track_step returns a jitted fn; take its wrapped pure function
-    pure = inner.__wrapped__
+    # build_track_step exposes its un-jitted body for exactly this kind of
+    # re-wrapping (vmap over streams, then one jit over the mesh)
+    pure = inner._raw_step
 
     def batched(params, states, frames):
         return jax.vmap(lambda s, f: pure(params, s, f))(states, frames)
@@ -65,6 +66,52 @@ def sharded_track_batch(mesh, raft_cfg, tp, flow_fn=None):
                    in_shardings=(rep, dp, dp),
                    out_shardings=(dp, dp, dp),
                    donate_argnums=(1,))
+
+
+def spatial_sharded_forward(mesh, cfg, iters=None):
+    """jit the FULL WeightedRAFT forward with the correlation pyramid
+    sharded over key columns (the ``sp`` mesh axis) — the ring-style
+    scale-out for resolutions whose all-pairs volume exceeds one chip's HBM
+    (SURVEY.md section 5.7; the TPU-native analog of the reference's
+    never-materialize CUDA sampler, ref:raft_core/corr.py:72-100).
+
+    Layout rationale (communication-minimal):
+    - ``image2`` arrives width-sharded; the encoders run under GSPMD with
+      automatic conv halo exchange, so ``fmap2`` (keys) is width-sharded.
+    - each pyramid level (Q, Hl, Wl) is pinned key-columns-over-sp via the
+      ``corr_shard`` hook — per-chip volume memory drops by the sp size and
+      construction needs no communication (queries replicated, keys stay
+      put).
+    - the onehot lookup's first einsum (``qah,qhw->qaw``) keeps the sharded
+      ``w`` axis as a batch dim (no comm); only the second einsum contracts
+      over it, so each lookup all-reduces a tiny (Q, k+1, k+1) partial —
+      ~200 KB/level at 1/8-scale 4K — over ICI.
+
+    Requires a pyramid ``corr_impl`` ('onehot' recommended); levels whose
+    Wl does not divide sp are left replicated (the pooled tail is cheap).
+    Returns ``fwd(params, img1, img2) -> (flow_up, weights_up)``.
+    """
+    from ..models.raft import weighted_raft_forward
+
+    assert cfg.corr_impl in ("onehot", "gather", "rowgather"), (
+        "spatial sharding needs a pyramid corr_impl, got " + cfg.corr_impl)
+    sp = mesh.shape["sp"]
+    key_ns = NamedSharding(mesh, P(None, None, "sp"))
+
+    def shard_level(_l, corr_l):
+        if corr_l.shape[2] % sp == 0:
+            return jax.lax.with_sharding_constraint(corr_l, key_ns)
+        return corr_l
+
+    def fwd(params, img1, img2):
+        out = weighted_raft_forward(params, cfg, img1, img2, iters=iters,
+                                    corr_shard=shard_level)
+        return out["flow_up"], out["weights_up"]
+
+    rep = NamedSharding(mesh, P())
+    img_w = NamedSharding(mesh, P(None, None, "sp", None))
+    return jax.jit(fwd, in_shardings=(rep, rep, img_w),
+                   out_shardings=(rep, rep))
 
 
 def spatial_sharded_correlation(mesh, fmap1, fmap2):

@@ -102,7 +102,7 @@ class MultiTargetTracker:
         self.tp = TrackerParams(**{**tp.__dict__, "no_local_h": True})
         self.wp = wp
         inner = build_window_track_step(self.cfg, self.tp, wp)
-        pure = inner.__wrapped__
+        pure = inner._raw_step
 
         def batched(params, states, frame):
             return jax.vmap(lambda s: pure(params, s, frame))(states)

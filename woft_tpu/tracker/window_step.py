@@ -368,4 +368,6 @@ def build_window_track_step(raft_cfg: RaftConfig, tp: TrackerParams,
                 "h_crop": h_crop}
         return new_state, h_out, meta
 
-    return jax.jit(step, donate_argnums=(1,))
+    jitted = jax.jit(step, donate_argnums=(1,))
+    jitted._raw_step = step   # un-jitted body: vmap-over-targets re-wrapping
+    return jitted
