@@ -10,7 +10,11 @@ wall-clock timing of a 12-iteration loop for both paths.
 """
 
 import argparse
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
