@@ -267,7 +267,7 @@ def bench_multi(jax, jnp, H, W, n_frames, precision, window, n_targets=8):
                                         jnp.asarray(mask)))
     batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
-    inner = build_window_track_step(cfg, tp, wp).__wrapped__
+    inner = build_window_track_step(cfg, tp, wp)._raw_step
     step = jax.jit(lambda p, s, f: jax.vmap(
         lambda si: inner(p, si, f))(s), donate_argnums=(1,))
 

@@ -11,7 +11,10 @@ corners, hand-labeled on frames 1/60/120 from 3-5x zoomed crops
 
 Usage:
     python tools/realdata_eval.py /tmp/v24_full/homographies.npz \
-        [more npz ...]
+        [more npz ...] [--labels tools/v25_labels.json]
+
+r4: --labels selects the GT file (default v24_labels.json; v25_labels.json
+holds the V25_2 poster-frame corners, init bbox 435,173,302,403).
 """
 
 import json
@@ -47,8 +50,14 @@ def score(npz_path, labels):
 
 
 def main():
-    labels = json.loads(LABELS.read_text())["frames"]
-    for npz in sys.argv[1:]:
+    args = sys.argv[1:]
+    labels_path = LABELS
+    if "--labels" in args:
+        i = args.index("--labels")
+        labels_path = Path(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    labels = json.loads(labels_path.read_text())["frames"]
+    for npz in args:
         print(f"== {npz}")
         for fi, err in score(npz, labels):
             print(f"  frame {fi:4d}: "
