@@ -453,6 +453,30 @@ def test_local_pallas_forward_matches_dense():
     np.testing.assert_allclose(w_sparse, w_dense, atol=1e-4, rtol=1e-4)
 
 
+def test_pallas_impl_forward_matches_dense():
+    """End-to-end forward with corr_impl='pallas' (fused dense-pyramid
+    lookup kernel, interpret on CPU) == the dense gather path — pins the
+    r4 raft.py plumbing (unpadded fused pyramid -> pad_pyramid -> kernel)
+    after the kernel's compiled-legal rework."""
+    from woft_tpu.models.raft import (RaftConfig, init_raft_params,
+                                      weighted_raft_forward)
+    from woft_tpu.ops.pallas import corr_lookup as pcl
+
+    rng = np.random.default_rng(13)
+    img1 = jnp.asarray(rng.uniform(0, 255, (1, 64, 96, 3)), jnp.float32)
+    img2 = jnp.asarray(rng.uniform(0, 255, (1, 64, 96, 3)), jnp.float32)
+    cfg_d = RaftConfig(variant="weighted", iters=3, corr_impl="gather")
+    cfg_p = RaftConfig(variant="weighted", iters=3, corr_impl="pallas")
+    params = init_raft_params(jax.random.PRNGKey(1), cfg_d)
+    out_d = weighted_raft_forward(params, cfg_d, img1, img2)
+    with _interpret_pallas(pcl):
+        out_p = weighted_raft_forward(params, cfg_p, img1, img2)
+    for key in ("flow_up", "weights_up", "mean_response"):
+        np.testing.assert_allclose(np.asarray(out_p[key]),
+                                   np.asarray(out_d[key]),
+                                   atol=1e-3, rtol=1e-4)
+
+
 def test_local_forward_matches_dense():
     """corr_impl='local' end-to-end == the dense path (margin covers the
     whole level at this size, so equality is exact everywhere)."""

@@ -58,7 +58,11 @@ def main():
     coords = jnp.asarray(coords[None], jnp.float32)
 
     failures = 0
-    for dtype in (jnp.float32, jnp.bfloat16):
+    # f32 volumes must match the XLA one-hot path bit-exactly; bf16 ones
+    # differ by bf16 rounding (the kernel selects exact bf16 cells and
+    # blends in f32; XLA's path accumulates at bf16-adjacent precision) —
+    # same 2e-2-scale tolerance pallas_ab uses for bf16 volumes
+    for dtype, tol in ((jnp.float32, 0.0), (jnp.bfloat16, 0.03)):
         # the XLA one-hot reference path reads the UNPADDED pyramid;
         # pad_pyramid adds the window pad + Mosaic tile alignment
         pyr, _ = corr_pyramid_fused(f1, f2, levels, pad=0, out_dtype=dtype)
@@ -66,7 +70,7 @@ def main():
         pp = pad_pyramid(pyr, radius)
         got = np.asarray(fused_corr_lookup(pp, coords, radius=radius, tq=8))
         delta = np.abs(got - ref).max()
-        ok = delta == 0.0
+        ok = delta <= tol
         failures += (not ok)
         print(f"fused_lookup {dtype.__name__}: max|delta|={delta:.3e} "
               f"{'PASS' if ok else 'FAIL'}", flush=True)

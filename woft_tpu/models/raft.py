@@ -56,12 +56,14 @@ class RaftConfig:
                                        # on for non-CPU backends)
     gru_pallas: Optional[bool] = None  # fused SepConvGRU kernels in the
                                        # iteration loop (ops/pallas/gru.py;
-                                       # bf16 mode + B=1 only; None = auto:
-                                       # on for non-CPU backends)
+                                       # bf16 mode + B=1 only; None/False =
+                                       # off — on-chip correct but SLOWER
+                                       # in-graph than XLA (r4 measured:
+                                       # 12.0 vs 14.6 fps @1080p), opt-in
     tail_pallas: Optional[bool] = None  # fused motion-encoder 3x3 stack +
                                         # flow-head kernels in the loop
                                         # (ops/pallas/update_tail.py; same
-                                        # gating as gru_pallas)
+                                        # gating as gru_pallas; opt-in)
     fine_check: bool = True            # corr_impl='local' fine lookups:
                                        # analytic spread guard with exact
                                        # full-slab lax.cond fallback (see
@@ -623,7 +625,7 @@ def _raft_forward(params, cfg, image1, image2, flow_init, iters,
         from .corr import corr_pyramid_fused
         from ..ops.pallas.corr_lookup import _pad_amount
 
-        sliced_impl = cfg.corr_impl in ("pallas", "dslice", "band")
+        sliced_impl = cfg.corr_impl in ("dslice", "band")
         vol_dtype = (jnp.bfloat16 if cfg.precision in ("default", "bf16")
                      else None)
         pyramid, mean_response = corr_pyramid_fused(
@@ -633,19 +635,17 @@ def _raft_forward(params, cfg, image1, image2, flow_init, iters,
             shard_level=corr_shard)
 
         if cfg.corr_impl == "pallas":
-            if jax.default_backend() == "tpu":
-                # the fused lookup kernel's dynamic lane roll is rejected
-                # by Mosaic when compiled (interpret-mode/CPU only); fail
-                # fast instead of surfacing an opaque Mosaic error
-                raise NotImplementedError(
-                    "corr_impl='pallas' (fused lookup kernel) does not "
-                    "compile on TPU yet — use corr_impl='local' (compiled "
-                    "Pallas block-local volume, the TPU production path) "
-                    "or 'onehot' (exact MXU path).")
-            from ..ops.pallas.corr_lookup import fused_corr_lookup
+            # fused dense-pyramid lookup kernel (r4: compiled-legal via
+            # 8-aligned band loads + one-hot row/lane select matmuls;
+            # pad_pyramid adds the window pad, Mosaic tile alignment and
+            # the 24-row band tail the kernel requires)
+            from ..ops.pallas.corr_lookup import (fused_corr_lookup,
+                                                  pad_pyramid)
+
+            padded = pad_pyramid(pyramid, radius)
 
             def lookup(coords):
-                return fused_corr_lookup(pyramid, coords, radius=radius)
+                return fused_corr_lookup(padded, coords, radius=radius)
         elif cfg.corr_impl == "dslice":
             from .corr import corr_lookup_dslice
 
@@ -677,15 +677,15 @@ def _raft_forward(params, cfg, image1, image2, flow_init, iters,
     # trainer does not use; tracker consumes the last)
     pre = (None if cfg.small else
            precompute_gru_context(params["update_block"]["gru"], inp, hdim))
-    gru_pallas = cfg.gru_pallas
-    if gru_pallas is None:
-        gru_pallas = jax.default_backend() == "tpu"
-    gru_pallas = (gru_pallas and not cfg.small and B == 1
+    # r4 measured defaults: the fused GRU kernel is on-chip CORRECT
+    # (tools/gru_ab.py PASS) and marginally faster in isolation (4.50 vs
+    # 4.71 ms/pair), but the full-frame graph runs SLOWER with it (12.0
+    # vs 14.6 fps @1080p — the kernel boundary forces per-iteration f32
+    # carry pads/copies XLA otherwise fuses away), so both loop kernels
+    # are opt-in (cfg flag / WOFT_BENCH_GRU|TAIL) rather than auto-on.
+    gru_pallas = (bool(cfg.gru_pallas) and not cfg.small and B == 1
                   and cfg.compute_dtype == jnp.bfloat16)
-    tail_pallas = cfg.tail_pallas
-    if tail_pallas is None:
-        tail_pallas = jax.default_backend() == "tpu"
-    tail_pallas = (tail_pallas and not cfg.small and B == 1
+    tail_pallas = (bool(cfg.tail_pallas) and not cfg.small and B == 1
                    and cfg.compute_dtype == jnp.bfloat16)
 
     def step(carry, _):

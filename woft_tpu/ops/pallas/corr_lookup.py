@@ -14,9 +14,13 @@ windows directly:
   no masking and reproduces grid_sample's zero padding exactly,
 - clamped int32 window starts are scalar-prefetched to SMEM; fractional
   bilinear weights ride along as a VMEM block,
-- Mosaic allows dynamic slicing only on sublanes, so the row band is
-  dynamically sliced and the column offset is applied with a dynamic lane
-  roll; all levels are processed in one kernel,
+- Mosaic requires dynamic sublane offsets to be provably 8-aligned and
+  rejects dynamic lane rolls outright (both found on-chip; interpret mode
+  accepts either), so the kernel loads an 8-aligned 24-row band and
+  extracts BOTH the row window and the column window with exact one-hot
+  select matmuls — each output element sums exactly one nonzero product,
+  so the contraction is bit-exact and rides the MXU; all levels are
+  processed in one kernel,
 - the kernel emits (Q, levels, K, K) in (j, i) window order; the caller
   transposes to RAFT's (i, j) channel quirk with one cheap XLA relayout.
 """
@@ -39,8 +43,10 @@ def pad_pyramid(pyramid, radius=4, dtype=None):
     """Zero-pad each level for the kernel: (Q, Hl, Wl) -> (Q, Hp, Wp).
 
     Besides the symmetric window pad, the trailing dims are rounded up to
-    Mosaic-native tiles (sublane x8, lane x128); window starts are clamped
-    to the symmetric-pad region so the alignment tail is never read."""
+    Mosaic-native tiles (sublane x8, lane x128), plus a 24-row tail so the
+    kernel's 8-aligned 24-row band load stays in bounds for any clamped
+    window start (reads land in zeros, which is exactly grid_sample's
+    zero-padding semantics)."""
     pad = _pad_amount(radius)
     out = []
     for corr in pyramid:
@@ -49,7 +55,7 @@ def pad_pyramid(pyramid, radius=4, dtype=None):
         _, h, w = corr.shape
         hp = h + 2 * pad
         wp = w + 2 * pad
-        extra_h = (-hp) % 8
+        extra_h = 24 + (-hp) % 8
         extra_w = (-wp) % 128
         out.append(jnp.pad(corr, ((0, 0), (pad, pad + extra_h),
                                   (pad, pad + extra_w))))
@@ -71,7 +77,10 @@ def _starts_and_fracs(shapes, coords, radius):
         y0 = jnp.floor(c[:, 1])
         fx = (c[:, 0] - x0).astype(jnp.float32)
         fy = (c[:, 1] - y0).astype(jnp.float32)
-        sy = jnp.clip(y0.astype(jnp.int32) - radius + pad, 0, hp - k1)
+        # row clamp leaves room for the kernel's 8-aligned 24-row band
+        # (sy_al + 24 <= hp - 8); clamped far-OOB starts still land in the
+        # bottom zero pad (needs pad >= 8; pad = 2r+2 = 10 at r=4)
+        sy = jnp.clip(y0.astype(jnp.int32) - radius + pad, 0, hp - 32)
         sx = jnp.clip(x0.astype(jnp.int32) - radius + pad, 0, wp - k1)
         starts += [sy, sx]
         fracs += [fy, fx]
@@ -84,22 +93,41 @@ def _make_kernel(num_levels, radius, tq):
     def kernel(starts_ref, fracs_ref, *refs):
         level_refs = refs[:num_levels]
         out_ref = refs[num_levels]
-        prog = pl.program_id(0)
 
         for qi in range(tq):
-            q = prog * tq + qi
             for lvl in range(num_levels):
-                sy = starts_ref[q, 2 * lvl]
-                sx = starts_ref[q, 2 * lvl + 1]
+                sy = starts_ref[qi, 2 * lvl]
+                sx = starts_ref[qi, 2 * lvl + 1]
                 fy = fracs_ref[qi, 2 * lvl]
                 fx = fracs_ref[qi, 2 * lvl + 1]
-                # dynamic sublane slice of the row band, full lanes
-                strip = level_refs[lvl][qi, pl.ds(sy, k + 1), :]
-                strip = strip.astype(jnp.float32)
-                # bring column sx to lane 0 with a dynamic roll, then a
-                # static lane slice gives the (K+1, K+1) window
-                rolled = pltpu.roll(strip, -sx, 1)
-                win = rolled[:, :k + 1]          # win[a, b] = C[y0+a-r, x0+b-r]
+                # 8-aligned 24-row band load (Mosaic: dynamic sublane
+                # offsets must be provably multiples of 8); rows sy..sy+k
+                # land at sublanes off..off+k with off = sy % 8 < 8 and
+                # off + k + 1 <= 17 <= 24
+                sy_al = pl.multiple_of((sy // 8) * 8, 8)
+                strip = level_refs[lvl][qi, pl.ds(sy_al, 24), :]
+                strip = strip.astype(jnp.float32)      # (24, Wp)
+                off = sy - sy_al
+                # one-hot select matmuls for rows then lanes: each output
+                # element sums exactly one nonzero product -> bit-exact
+                # (Mosaic rejects a compiled dynamic lane roll here)
+                wp = strip.shape[1]
+                ra = jax.lax.broadcasted_iota(jnp.int32, (k + 1, 24), 0)
+                rj = jax.lax.broadcasted_iota(jnp.int32, (k + 1, 24), 1)
+                rsel = (rj == ra + off).astype(jnp.float32)
+                band = jax.lax.dot_general(
+                    rsel, strip, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )                                      # (k+1, Wp)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (wp, k + 1), 0)
+                col = jax.lax.broadcasted_iota(jnp.int32, (wp, k + 1), 1)
+                sel = (lane == col + sx).astype(jnp.float32)
+                win = jax.lax.dot_general(
+                    band, sel, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )                                # win[a, b] = C[y0+a-r, x0+b-r]
                 blend = ((1.0 - fy) * (1.0 - fx) * win[:k, :k]
                          + (1.0 - fy) * fx * win[:k, 1:]
                          + fy * (1.0 - fx) * win[1:, :k]
@@ -132,23 +160,23 @@ def fused_corr_lookup(padded_pyramid, coords, radius=4, tq=8):
     shapes = [p.shape for p in padded_pyramid]
     starts, fracs = _starts_and_fracs(shapes, coords.reshape(Q, 2), radius)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    # starts ride per-block in SMEM: a whole-array scalar prefetch pads
+    # (Q, L*2) i32 to 128 lanes and blows the 1 MB SMEM budget (found
+    # on-chip r4); per-block (tq, L*2) is a few hundred bytes
+    out = pl.pallas_call(
+        _make_kernel(L, radius, tq),
         grid=(Q // tq,),
         in_specs=[
-            pl.BlockSpec((tq, L * 2), lambda i, *_: (i, 0),
+            pl.BlockSpec((tq, L * 2), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tq, L * 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            *[pl.BlockSpec((tq, hp, wp), lambda i, *_: (i, 0, 0),
+            *[pl.BlockSpec((tq, hp, wp), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
               for (_, hp, wp) in shapes],
         ],
-        out_specs=pl.BlockSpec((tq, L, k, k), lambda i, *_: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((tq, L, k, k), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-    )
-
-    out = pl.pallas_call(
-        _make_kernel(L, radius, tq),
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Q, L, k, k), jnp.float32),
     )(starts, fracs, *padded_pyramid)
 

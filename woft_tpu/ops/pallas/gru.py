@@ -78,21 +78,52 @@ def _make_kernel(d, span, out_span):
                     preferred_element_type=_F32)
             return acc
 
+        def conv2(in_a, in_b, w_ref, n):
+            # conv(cat(in_a, in_b), w) == conv(in_a, w[:128]) +
+            # conv(in_b, w[128:]) — exact by linearity in input channels.
+            # Mosaic rejects the concatenate when the operands carry
+            # different slice offsets ('result/input offset mismatch on
+            # non-concat dimension', found on-chip r4), so the split form
+            # is the only compiled-legal spelling.
+            acc = None
+            for t in range(5):
+                p = (jax.lax.dot_general(
+                        _shift(in_a, d, t, n), w_ref[t][:128],
+                        (((2,), (0,)), ((), ())),
+                        preferred_element_type=_F32)
+                     + jax.lax.dot_general(
+                        _shift(in_b, d, t, n), w_ref[t][128:],
+                        (((2,), (0,)), ((), ())),
+                        preferred_element_type=_F32))
+                acc = p if acc is None else acc + p
+            return acc
+
         # zr on the widened span: values at the +-2 guard positions are
         # finite but arbitrary-w.r.t.-the-true-conv (their pre rows are
         # zero-padded); they only ever multiply h = 0 below.
         zr = (conv(hx, wzr_ref, mid) + bzr_ref[0]).astype(_BF16)
         zr = zr + pzr_ref[0]
-        z = jax.nn.sigmoid(zr[..., :128])                # (A|mid, ., 128)
-        r = jax.nn.sigmoid(zr[..., 128:])
+        # transcendentals computed in f32 and rounded back (= XLA's bf16
+        # elementwise semantics). Mosaic rejects them directly on bf16
+        # vectors: the lowering broadcasts f32 scalar constants into the
+        # bf16 vector type ('vector.broadcast f32 -> vector<...xbf16>'
+        # verification error, found on-chip r4 — invisible in interpret).
+        z = jax.nn.sigmoid(zr[..., :128].astype(_F32)).astype(_BF16)
+        r = jax.nn.sigmoid(zr[..., 128:].astype(_F32)).astype(_BF16)
         h_mid = _shift(h, d, 2, mid)
         x_mid = _shift(x, d, 2, mid)
-        qin = jnp.concatenate([(r * h_mid).astype(_BF16), x_mid], -1)
-        q = (conv(qin, wq_ref, out_span) + bq_ref[0]).astype(_BF16)
-        q = jnp.tanh(q + pq_ref[0])
+        rh = (r * h_mid).astype(_BF16)
+        q = (conv2(rh, x_mid, wq_ref, out_span) + bq_ref[0]).astype(_BF16)
+        q = jnp.tanh((q + pq_ref[0]).astype(_F32)).astype(_BF16)
         z_out = _shift(z, d, 2, out_span)
         h_out = _shift(h, d, 4, out_span)
-        out_ref[0] = (1 - z_out) * h_out + z_out * q     # f32 blend
+        # mirror the XLA twin's promotion points exactly: (1-z) and z*q
+        # round to bf16, the convex sum accumulates f32. The 1.0 constant
+        # must be EXPLICITLY bf16 — a weak-typed scalar lowers to an f32
+        # vector.broadcast that Mosaic rejects against a bf16 operand.
+        one = jnp.asarray(1.0, _BF16)
+        out_ref[0] = ((one - z_out).astype(_F32) * h_out
+                      + (z_out * q).astype(_F32))
 
     return kernel
 

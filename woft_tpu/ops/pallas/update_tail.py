@@ -55,6 +55,12 @@ _BF16 = jnp.bfloat16
 _F32 = jnp.float32
 
 
+# numpy (ml_dtypes) scalar: non-weak bf16 zero without touching the
+# backend at import time
+import numpy as _np  # noqa: E402
+_ZERO_BF16 = _np.zeros((), _np.dtype(_BF16))[()]
+
+
 def _round_up(n, m):
     return (n + m - 1) // m * m
 
@@ -75,7 +81,10 @@ def _conv3(inp, w_ref, b_ref, rows, cols):
     Returns (rows, cols, Co) bf16 — XLA rounding points (f32 accumulate,
     f32 bias, bf16 round, relu)."""
     acc = _conv3_acc(inp, w_ref, rows, cols)
-    return jnp.maximum((acc + b_ref[0]).astype(_BF16), 0)
+    # relu/select constants must be EXPLICITLY bf16: weak-typed scalars
+    # lower to f32 vector.broadcasts that Mosaic rejects against bf16
+    # operands (on-chip r4 finding in the GRU kernel, same class)
+    return jnp.maximum((acc + b_ref[0]).astype(_BF16), _ZERO_BF16)
 
 
 def _conv3_acc(inp, w_ref, rows, cols):
@@ -98,11 +107,17 @@ def _stage1_mask(T, W, H, r0):
     image borders, but the kernel computes those positions from
     zero-guarded inputs, yielding relu(bias)-like values — they must be
     zeroed before the second conv. Block row j = image row r0 - 1 + j,
-    block col j = image col j - 1."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (T + 2, W + 2), 0) + (r0 - 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (T + 2, W + 2), 1) - 1
+    block col j = image col j - 1.
+
+    Returned as an f32 0/1 multiplier with an explicit minor dim: Mosaic
+    only supports non-trivial minor-dim inserts/broadcasts for 32-bit
+    types (an i1 ok[:, :, None] fails compiled verification, found
+    on-chip r4), and x * mask is exact for a 0/1 mask."""
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (T + 2, W + 2, 1), 0)
+            + (r0 - 1))
+    cols = jax.lax.broadcasted_iota(jnp.int32, (T + 2, W + 2, 1), 1) - 1
     ok = ((rows >= 0) & (rows <= H - 1) & (cols >= 0) & (cols <= W - 1))
-    return ok[:, :, None]
+    return ok.astype(_F32)
 
 
 def _make_me_kernel(T, W, H):
@@ -125,22 +140,48 @@ def _make_me_kernel(T, W, H):
 
         # stage 1: one extra row/col each side stays for the final conv;
         # positions outside the image zero out (= the final conv's padding)
-        ok = _stage1_mask(T, W, H, r0)
-        cor2 = jnp.where(ok, _conv3(cbuf, wc2_ref, bc2_ref, T + 2, W + 2),
-                         0)
-        flo2 = jnp.where(ok, _conv3(fbuf, wf2_ref, bf2_ref, T + 2, W + 2),
-                         0)
+        okf = _stage1_mask(T, W, H, r0)
+        cor2 = (_conv3(cbuf, wc2_ref, bc2_ref, T + 2, W + 2)
+                .astype(_F32) * okf).astype(_BF16)
+        flo2 = (_conv3(fbuf, wf2_ref, bf2_ref, T + 2, W + 2)
+                .astype(_F32) * okf).astype(_BF16)
         # stage 2: conv(cat(cor2, flo2)) as two partial convs, one f32
         # accumulator (exact by linearity in input channels)
         acc = (_conv3_acc(cor2, wcvA_ref, T, W)
                + _conv3_acc(flo2, wcvB_ref, T, W))
-        out_ref[0] = jnp.maximum((acc + bcv_ref[0]).astype(_BF16), 0)
+        out_ref[0] = jnp.maximum((acc + bcv_ref[0]).astype(_BF16),
+                                 _ZERO_BF16)
 
     return kernel
 
 
+def _me_vmem_bytes(T, W):
+    """Upper-bound VMEM footprint of one motion-encoder band step."""
+    W4 = _round_up(W + 4, 8)
+    bufs = (T + 4) * W4 * (256 + 128) * 2            # DMA'd bf16 bands
+    stage1 = (T + 2) * (W + 2) * (192 + 64) * 4 * 2  # f32 accs + masked
+    stage2 = T * W * 128 * 4                         # f32 acc
+    out = T * W * 128 * 2 * 2                        # bf16 block, 2 bufs
+    # taps (double-buffered) + compiler slack, calibrated so the estimate
+    # reproduces the measured 16.70M at T=8, W=240 (on-chip r4 OOM)
+    weights = 7300 * 2 ** 10
+    return bufs + stage1 + stage2 + out + weights
+
+
+def _pick_tile(W, est, budget=14 * 2 ** 20, cands=(16, 8, 4, 2)):
+    """Largest band height whose estimated VMEM stays under budget.
+
+    The v5e scoped-vmem stack limit is 16 MB; tile=8 fits the 1080p loop
+    width (240) but OOMs by ~0.7 MB once the r4 8-aligned DMA padding
+    lands, and 4K widths need smaller bands still (found on-chip r4)."""
+    for t in cands:
+        if est(t, W) <= budget:
+            return t
+    return cands[-1]
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def motion_encoder_pallas(p, flow, cor1, flo1, tile=8, interpret=False):
+def motion_encoder_pallas(p, flow, cor1, flo1, tile=None, interpret=False):
     """Fused twin of the 3x3 stack of models/raft._basic_motion_encoder.
 
     Args:
@@ -157,12 +198,16 @@ def motion_encoder_pallas(p, flow, cor1, flo1, tile=8, interpret=False):
     VMEM headroom — revisit with on-chip numbers (tools/update_ab.py).
     """
     _, H, W, _ = cor1.shape
-    T = tile
+    T = tile if tile is not None else _pick_tile(W, _me_vmem_bytes)
     Hp = _round_up(H, T)
     n = Hp // T
 
-    cor1p = _pad2d(cor1.astype(_BF16), 2, Hp - H + 2, 2, 2)
-    flo1p = _pad2d(flo1.astype(_BF16), 2, Hp - H + 2, 2, 2)
+    # DMA'd band slices must be 8-aligned on the second-minor dim (Mosaic
+    # rule, found on-chip r4): round the buffered width W+4 up to x8 with
+    # extra zero columns (never read past W+4 by the conv windows)
+    W4 = _round_up(W + 4, 8)
+    cor1p = _pad2d(cor1.astype(_BF16), 2, Hp - H + 2, 2, W4 - W - 2)
+    flo1p = _pad2d(flo1.astype(_BF16), 2, Hp - H + 2, 2, W4 - W - 2)
 
     wc2 = _taps(p["convc2"]["weight"])                     # (9, 256, 192)
     bc2 = p["convc2"]["bias"][None].astype(_F32)
@@ -193,8 +238,8 @@ def motion_encoder_pallas(p, flow, cor1, flo1, tile=8, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, Hp, W, 128), _BF16),
         scratch_shapes=[
-            pltpu.VMEM((T + 4, W + 4, cor1.shape[-1]), _BF16),
-            pltpu.VMEM((T + 4, W + 4, flo1.shape[-1]), _BF16),
+            pltpu.VMEM((T + 4, W4, cor1.shape[-1]), _BF16),
+            pltpu.VMEM((T + 4, W4, flo1.shape[-1]), _BF16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -214,16 +259,28 @@ def _make_fh_kernel(T, W, H):
             net_hbm.at[0, pl.ds(r0, T + 4)], nbuf, sem)
         cp.start()
         cp.wait()
-        ok = _stage1_mask(T, W, H, r0)
-        h = jnp.where(ok, _conv3(nbuf, w1_ref, b1_ref, T + 2, W + 2), 0)
+        okf = _stage1_mask(T, W, H, r0)
+        h = (_conv3(nbuf, w1_ref, b1_ref, T + 2, W + 2)
+             .astype(_F32) * okf).astype(_BF16)
         acc = _conv3_acc(h, w2_ref, T, W)                  # 256 -> 2 (pad)
         out_ref[0] = acc + b2_ref[0]                       # delta stays f32
 
     return kernel
 
 
+def _fh_vmem_bytes(T, W):
+    """Upper-bound VMEM footprint of one flow-head band step."""
+    W4 = _round_up(W + 4, 8)
+    buf = (T + 4) * W4 * 128 * 2                     # DMA'd bf16 band
+    stage1 = (T + 2) * (W + 2) * 256 * 4 * 2         # f32 acc + masked
+    stage2 = T * W * 128 * 4                         # f32 acc
+    out = T * W * 128 * 4 * 2                        # f32 block, 2 bufs
+    weights = 4500 * 2 ** 10                         # taps + slack
+    return buf + stage1 + stage2 + out + weights
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def flow_head_pallas(p, net, tile=16, interpret=False):
+def flow_head_pallas(p, net, tile=None, interpret=False):
     """Fused twin of models/raft._flow_head in bf16 mode.
 
     net: (1, H, W, 128) GRU state. Returns (1, H, W, 2) f32 delta flow —
@@ -232,11 +289,13 @@ def flow_head_pallas(p, net, tile=16, interpret=False):
     stores; the caller's slice is free) — a (.., 2)-lane output block is
     the follow-up experiment if stores ever dominate."""
     _, H, W, _ = net.shape
-    T = tile
+    T = tile if tile is not None else _pick_tile(W, _fh_vmem_bytes,
+                                                 cands=(16, 8, 4, 2))
     Hp = _round_up(H, T)
     n = Hp // T
 
-    netp = _pad2d(net.astype(_BF16), 2, Hp - H + 2, 2, 2)
+    W4 = _round_up(W + 4, 8)        # 8-aligned DMA width (see motion enc.)
+    netp = _pad2d(net.astype(_BF16), 2, Hp - H + 2, 2, W4 - W - 2)
     w1 = _taps(p["conv1"]["weight"])                       # (9, 128, 256)
     b1 = p["conv1"]["bias"][None].astype(_F32)
     w2 = p["conv2"]["weight"]                              # (3, 3, 256, 2)
@@ -257,7 +316,7 @@ def flow_head_pallas(p, net, tile=16, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, Hp, W, 128), _F32),
         scratch_shapes=[
-            pltpu.VMEM((T + 4, W + 4, net.shape[-1]), _BF16),
+            pltpu.VMEM((T + 4, W4, net.shape[-1]), _BF16),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
