@@ -249,7 +249,10 @@ def bench_multi(jax, jnp, H, W, n_frames, precision, window, n_targets=8):
                                               build_window_track_step,
                                               window_init_state)
 
-    cfg = RaftConfig(variant="weighted", iters=12, precision=precision)
+    cfg = _make_cfg(jax, precision)   # honors WOFT_BENCH_CORR/GRU/TAIL:
+    #                                   under vmap each target sees B=1, so
+    #                                   corr_impl picks Pallas-block-local vs
+    #                                   batched-dense — the x8-MFU A/B knob
     tp = TrackerParams(padding_mode="nopad", redetection="always",
                        no_local_h=True)
     wp = WindowParams(size=window)

@@ -36,7 +36,10 @@ def main():
                                               window_init_state)
 
     # identical construction to bench.py::bench_multi (the 12.9%-MFU row)
-    cfg = RaftConfig(variant="weighted", iters=12, precision="bf16")
+    kw = {}
+    if os.environ.get("WOFT_BENCH_CORR"):
+        kw["corr_impl"] = os.environ["WOFT_BENCH_CORR"]
+    cfg = RaftConfig(variant="weighted", iters=12, precision="bf16", **kw)
     tp = TrackerParams(padding_mode="nopad", redetection="always",
                        no_local_h=True)
     wp = WindowParams(size=256)
