@@ -376,8 +376,11 @@ def update_block_apply(p, net, inp, corr, flow, small=False, pre=None,
         net = _conv_gru(p["gru"], net, jnp.concatenate([inp, motion], -1))
         delta = _flow_head(p["flow_head"], net)
         return net, None, delta
+    # Motion encoder stays on the XLA path: the fused kernel LOST its
+    # on-chip A/B timing (1.95 vs 0.99 ms/12-loop, tools/update_ab.py,
+    # 2026-08-18 v5e) while the flow-head kernel won (4.79 vs 7.94).
     motion = _basic_motion_encoder(p["encoder"], flow, corr,
-                                   pallas=tail_pallas)
+                                   pallas=False)
     if pre is None:
         net = _sep_conv_gru(p["gru"], net,
                             jnp.concatenate([inp, motion], -1))
