@@ -360,6 +360,53 @@ def test_fine_slab_spread_overflow_falls_back_to_exact():
     assert np.abs(unchecked - exact).max() > 1e-3
 
 
+def test_fine_slab_capacity_correction_matches_exact():
+    """Large grids (nb > 2V): a few violating blocks must NOT force the
+    full exact slab path — the fine kernel runs everywhere and only the
+    violators are re-looked-up exactly and scattered back. Both the <=V
+    (scatter correction) and >V (global exact fallback) regimes must
+    equal fine=False."""
+    from woft_tpu.models.corr import (build_local_corr,
+                                      corr_lookup_local_blocked)
+    from woft_tpu.ops.pallas import local_corr as plc
+    from woft_tpu.ops.pallas import local_lookup as pll
+
+    rng = np.random.default_rng(13)
+    H1, W1, D = 72, 128, 32        # 9x8 = 72 blocks of 8x16 > 2V = 64
+    radius, margin = 4, 8
+    f1 = jnp.asarray(rng.normal(size=(1, H1, W1, D)), jnp.float32)
+    f2 = jnp.asarray(rng.normal(size=(1, H1, W1, D)), jnp.float32)
+
+    ys, xs = np.meshgrid(np.arange(H1, dtype=np.float32),
+                         np.arange(W1, dtype=np.float32), indexing="ij")
+    grid = np.stack([xs, ys], -1)[None]
+    smooth = rng.uniform(-1.5, 1.5, grid.shape).astype(np.float32)
+
+    # violate exactly 3 blocks (block rows 0..7 x cols 0..15 etc.)
+    few = smooth.copy()
+    for by, bx in ((0, 0), (4, 3), (8, 7)):
+        few[0, by * 8:(by + 1) * 8, bx * 16:(bx + 1) * 16] += \
+            rng.uniform(-25.0, 25.0,
+                        (8, 16, 2)).astype(np.float32)
+    # violate everywhere: > V blocks
+    many = (smooth
+            + rng.uniform(-25.0, 25.0, grid.shape).astype(np.float32))
+
+    with _interpret_pallas(plc, pll):
+        vp = build_local_corr(f1, f2, radius=radius, num_levels=2,
+                              margin=margin, use_pallas=True, layout="p")
+        for res in (few, many):
+            coords = jnp.asarray(grid + res)
+            checked = np.asarray(
+                corr_lookup_local_blocked(vp, coords, radius,
+                                          fine=True).data)
+            exact = np.asarray(
+                corr_lookup_local_blocked(vp, coords, radius,
+                                          fine=False).data)
+            np.testing.assert_allclose(checked, exact, atol=2e-5,
+                                       rtol=1e-5)
+
+
 def test_fine_slab_spread_overflow_clamps_to_fine_window():
     """Beyond the intra-block spread envelope the unchecked fine kernel
     reads the nearest covered slab start (per-axis clamp, bilinear frac

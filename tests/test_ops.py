@@ -10,6 +10,7 @@ import torch.nn.functional as F  # noqa: E402
 from woft_tpu.ops import (  # noqa: E402
     grid_sample,
     warp_perspective,
+    warp_axis_aligned,
     upflow8,
     upsample2d_align_corners,
     avg_pool2d,
@@ -81,6 +82,46 @@ def test_warp_perspective_nearest_mask():
                                        mode="nearest"))[0, :, :, 0]
     agree = np.mean((ref > 0) == (ours > 0))
     assert agree > 0.995, agree
+
+
+def test_warp_axis_aligned_matches_gather():
+    """The separable one-hot matmul resample must reproduce
+    warp_perspective for scale+translate homographies, including crops
+    that spill past the frame (zero border) and under vmap (the
+    multi-target batch)."""
+    import jax
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 255, (1, 37, 53, 3)).astype(np.float32)
+    cases = [
+        (1.7, 2.3, -4.2, 3.1),         # downscale-ish crop, interior
+        (0.31, 0.45, 10.0, -20.0),     # upscale, spills top/bottom
+        (5.0, 5.0, -120.0, -90.0),     # window mostly off-frame
+        (1.0, 1.0, 0.0, 0.0),          # identity (integer coords)
+    ]
+    for sx, sy, tx, ty in cases:
+        H = np.array([[sx, 0, tx], [0, sy, ty], [0, 0, 1]], np.float32)
+        ref = np.asarray(warp_perspective(jnp.asarray(img), jnp.asarray(H),
+                                          out_shape=(24, 32)))
+        ours = np.asarray(warp_axis_aligned(jnp.asarray(img),
+                                            jnp.asarray(H),
+                                            out_shape=(24, 32)))
+        assert np.allclose(ours, ref, atol=2e-3), (
+            (sx, sy, tx, ty), np.abs(ours - ref).max())
+
+    # batched/vmapped: per-sample homographies
+    imgs = rng.uniform(0, 255, (4, 37, 53, 3)).astype(np.float32)
+    Hs = np.stack([np.array([[1 + 0.2 * i, 0, 2.0 * i - 3],
+                             [0, 1.3 - 0.1 * i, -1.5 * i],
+                             [0, 0, 1]], np.float32) for i in range(4)])
+    ref = np.asarray(warp_perspective(jnp.asarray(imgs), jnp.asarray(Hs),
+                                      out_shape=(16, 24)))
+    ours = np.asarray(warp_axis_aligned(jnp.asarray(imgs), jnp.asarray(Hs),
+                                        out_shape=(16, 24)))
+    assert np.allclose(ours, ref, atol=2e-3), np.abs(ours - ref).max()
+    vm = np.asarray(jax.vmap(
+        lambda im, h: warp_axis_aligned(im[None], h, out_shape=(16, 24))[0]
+    )(jnp.asarray(imgs), jnp.asarray(Hs)))
+    assert np.allclose(vm, ref, atol=2e-3), np.abs(vm - ref).max()
 
 
 def test_upflow8_matches_torch():

@@ -597,8 +597,9 @@ def _fine_anchor_weights(c, size, radius, fine, align=1):
 
     c: (NB, BQ) clamped window-local coords. Returns (anchor (NB,) s32 —
     a multiple of ``align`` — (NB, fine - 2*radius, BQ) f32 weights
-    relative to it, and a scalar bool: True iff every query's slab start
-    landed inside its block's fine window, i.e. the fine lookup is exact).
+    relative to it, and a per-block (NB,) bool: True iff every one of the
+    block's slab starts landed inside its fine window, i.e. the fine
+    lookup is exact for that block).
     Starts landing outside the fine range are clamped to its edge —
     window-edge saturation semantics, relative to the block's own fine
     window (see ops/pallas/local_lookup.py block_local_lookup_fine)."""
@@ -616,7 +617,7 @@ def _fine_anchor_weights(c, size, radius, fine, align=1):
     # size-fine only lowers it), so only the UPPER bound can be violated:
     # intra-block slab-start spread exceeding the fine extent (high
     # shear/rotation residuals, mixed saturated/smooth blocks).
-    ok = jnp.all(rel_raw <= nf - 2)
+    ok = jnp.all(rel_raw <= nf - 2, axis=1)            # per block (NB,)
     rel = jnp.clip(rel_raw, 0, nf - 2)
     ids = jnp.arange(nf, dtype=jnp.int32)[None, :, None]
     rel = rel[:, None, :]
@@ -679,7 +680,7 @@ def corr_lookup_local_blocked(local, coords, radius=4, fine=True,
 
     if fine:
         rcs, wyfs, wxfs, exts = [], [], [], []
-        ok = jnp.bool_(True)
+        ok = jnp.ones((nb,), bool)
         for vol, (d, c) in zip(local.volumes, level_coords):
             fr, fc = _fine_extents(d, k)
             r0, wyf, oy = _fine_anchor_weights(c[..., 1], d["wh"], radius,
@@ -703,8 +704,48 @@ def corr_lookup_local_blocked(local, coords, radius=4, fine=True,
 
         if check:
             out_dt = od or jnp.float32
-            data = jax.lax.cond(ok, _fine,
-                                lambda: _exact().astype(out_dt))
+            # Exactness guard. A handful of violating blocks (occluders,
+            # garbage-flow background, mixed saturated/smooth) must not
+            # force the 4-5x-dearer exact slab path for the WHOLE frame
+            # every iteration (measured: the global all-blocks cond kept
+            # the full-frame loop on the exact path for 19.5 ms/step of
+            # the 66 ms total, RESULTS.md r4 xprof). Instead: always run
+            # the fine kernel, re-run the exact kernel on only the <=V
+            # violating blocks and scatter those rows in — bit-identical
+            # to exact on violators, fine (== exact) elsewhere. Only >V
+            # violators (pathological frame) escalates to full exact.
+            V = min(32, nb)
+
+            def _exact_sub(idx):
+                outs = []
+                for vol, (d, c) in zip(local.volumes, level_coords):
+                    wy = _slab_weights(c[..., 1], d["wh"], radius)
+                    wx = _slab_weights(c[..., 0], d["ww"], radius)
+                    outs.append(block_local_lookup(vol[idx], wy[idx],
+                                                   wx[idx], k))
+                return jnp.concatenate(outs, axis=1).astype(out_dt)
+
+            if nb <= 2 * V:
+                # small grids (window tracker): the correction would cost
+                # as much as full exact — keep the plain global cond
+                data = jax.lax.cond(jnp.all(ok), _fine,
+                                    lambda: _exact().astype(out_dt))
+            else:
+                bad = ~ok
+
+                def _fine_corrected():
+                    data = _fine()
+                    idx = jax.lax.top_k(bad.astype(jnp.int32), V)[1]
+                    corr = _exact_sub(idx)
+                    # keep the fine kernel's own (equal-value, different
+                    # rounding) rows where the slot padded out to a
+                    # non-violating block
+                    corr = jnp.where(bad[idx][:, None, None], corr,
+                                     data[idx])
+                    return data.at[idx].set(corr)
+
+                data = jax.lax.cond(jnp.sum(bad) <= V, _fine_corrected,
+                                    lambda: _exact().astype(out_dt))
         else:
             data = _fine()
         return BlockedCorr(data, meta, len(local.volumes), k)

@@ -2,6 +2,7 @@ from .warp import (  # noqa: F401
     grid_sample,
     bilinear_sample,
     warp_perspective,
+    warp_axis_aligned,
     upsample2d_align_corners,
     upflow8,
     avg_pool2d,

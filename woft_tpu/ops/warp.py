@@ -72,7 +72,10 @@ def grid_sample(img, coords, mode="bilinear"):
     n_idx = 1
     for s in x.shape:
         n_idx *= s
-    if C * 4 <= 16 and n_idx <= 400_000:
+    if C * 4 <= 16 and n_idx <= 400_000 and H * W <= 2_500_000:
+        # (third gate: the packed source is 4 padded copies of the FULL
+        # input — at 4K that is ~400 MB materialized eagerly in init
+        # paths and OOMs the chip; big sources take the 4-gather path)
         # Pack the 2x2 bilinear neighbourhood into channels over a 1px zero
         # border (the border realises grid_sample's zero padding for
         # half-out corners) and fetch all four corners with ONE gather —
@@ -171,6 +174,53 @@ def warp_perspective(img, H, out_shape=None, mode="bilinear"):
                            jnp.clip(ix, 0, img.shape[2] - 1))
         return out * valid[..., None].astype(img.dtype)
     return grid_sample(img, coords, mode="bilinear")
+
+
+def warp_axis_aligned(img, H, out_shape=None,
+                      precision=jax.lax.Precision.HIGHEST):
+    """``warp_perspective`` (bilinear) for AXIS-ALIGNED homographies as two
+    separable one-hot matmuls — no gather anywhere.
+
+    The caller guarantees ``H`` is scale+translate only (as produced by
+    ``_bbox_to_window_h``: zero off-diagonals, unit bottom row); only
+    H[0,0], H[1,1], H[0,2], H[1,2] are read. For such warps the bilinear
+    weight factorizes, w(y, x, j, i) = Ry[y, j] * Rx[x, i], so the resample
+    is out = Ry @ img @ Rx^T — clean MXU work instead of a 4-corner gather
+    (TPU gathers are scalar-unit bound; measured r2: the 12-channel packed
+    gather is the window tracker's #2 cost and balloons under vmap in the
+    multi-target batch, RESULTS.md r4 xprof). Zero padding outside the
+    source (cv2 BORDER_CONSTANT=0) falls out of dropping out-of-range
+    one-hot columns. Bit-matches ``warp_perspective`` (tests/test_ops.py).
+
+    Args:
+        img: (N, H, W, C) float array.
+        H: (N, 3, 3) or (3, 3) axis-aligned forward homography (src->dst).
+        out_shape: optional (out_h, out_w); defaults to input size.
+    """
+    if H.ndim == 2:
+        H = H[None]
+    out_h, out_w = out_shape if out_shape is not None else img.shape[1:3]
+    Hi, Wi = img.shape[1], img.shape[2]
+    Hf = H.astype(jnp.float32)
+    sx, tx = Hf[:, 0, 0], Hf[:, 0, 2]                          # (N,)
+    sy, ty = Hf[:, 1, 1], Hf[:, 1, 2]
+
+    def one_hot_resample(dst_n, src_n, s, t):
+        # src coordinate of each destination pixel center: (x - t) / s,
+        # matching inv([[s,0,t],[0,1,0],[0,0,1]]) in perspective_coords.
+        u = (jnp.arange(dst_n, dtype=jnp.float32)[None, :] - t[:, None]) \
+            / s[:, None]                                        # (N, dst)
+        u0 = jnp.floor(u)
+        f = (u - u0).astype(img.dtype)
+        i = jnp.arange(src_n, dtype=jnp.float32)[None, None, :]  # (1,1,src)
+        lo = (i == u0[:, :, None]).astype(img.dtype) * (1 - f)[:, :, None]
+        hi = (i == (u0 + 1)[:, :, None]).astype(img.dtype) * f[:, :, None]
+        return lo + hi                                          # (N,dst,src)
+
+    ry = one_hot_resample(out_h, Hi, sy, ty)
+    rx = one_hot_resample(out_w, Wi, sx, tx)
+    tmp = jnp.einsum('nhH,nHWc->nhWc', ry, img, precision=precision)
+    return jnp.einsum('nwW,nhWc->nhwc', rx, tmp, precision=precision)
 
 
 def warp_perspective_fast(img, H, out_shape=None, use_pallas=None,

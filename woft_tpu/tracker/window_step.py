@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from ..models.raft import RaftConfig, weighted_raft_forward, encode_template
 from ..ops.pad import make_padder
-from ..ops.warp import warp_perspective, warp_validity_at
+from ..ops.warp import (warp_axis_aligned, warp_perspective,
+                        warp_validity_at)
 from .woft import (TrackerParams, _estimate_h, _select_tcs,
                    _select_tcs_sparse, _success_check)
 
@@ -197,8 +198,10 @@ def window_init_state(params, raft_cfg: RaftConfig, tp: TrackerParams,
                              [x0 + w - 1, y0 + h - 1], [x0, y0 + h - 1]],
                             np.float32)
 
-    tmpl_window = warp_perspective(frame, jnp.asarray(h_tmpl_crop),
-                                   out_shape=(Sh, Sw))
+    # axis-aligned by construction -> separable matmul resample (also
+    # avoids grid_sample's packed-source path, which OOM'd on 4K frames)
+    tmpl_window = warp_axis_aligned(frame, jnp.asarray(h_tmpl_crop),
+                                    out_shape=(Sh, Sw))
     mask_window = warp_perspective(
         jnp.asarray(mask_np[None, :, :, None].astype(np.float32)),
         jnp.asarray(h_tmpl_crop), out_shape=(Sh, Sw), mode="nearest")
@@ -262,7 +265,11 @@ def build_window_track_step(raft_cfg: RaftConfig, tp: TrackerParams,
 
         h_crop = _search_crop_h(h_last_good, state["tmpl_corners"],
                                 frame_hw, wp)
-        window = warp_perspective(frame, h_crop, out_shape=(Sh, Sw))
+        # h_crop is scale+translate by construction (_bbox_to_window_h):
+        # extract the search window as two separable one-hot matmuls (MXU)
+        # instead of a 4-corner gather — the gather balloons under the
+        # multi-target vmap (10.6 ms/step at x8, RESULTS.md r4 xprof).
+        window = warp_axis_aligned(frame, h_crop, out_shape=(Sh, Sw))
         # window-space prior: cur window -> template window
         h_crop_inv = jnp.linalg.inv(h_crop)
         h_prior = state["h_tmpl_crop"] @ (h_last_good @ h_crop_inv)
