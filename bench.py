@@ -270,6 +270,26 @@ def bench_multi(jax, jnp, H, W, n_frames, precision, window, n_targets=8):
                                         jnp.asarray(mask)))
     batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
+    chunk = int(os.environ.get("WOFT_BENCH_CHUNK", 0))
+    if chunk > 1:
+        # Device-resident chunked stepping (r4 xprof fix): one host dispatch
+        # per `chunk` frames — the per-frame x8 step spends ~130 ms/step on
+        # dispatch+sync against ~16 ms of compute through the tunnel.
+        from woft_tpu.pipeline import build_multi_track_chunk
+        step = build_multi_track_chunk(cfg, tp, wp)
+        frames = jnp.asarray(
+            rng.uniform(0, 255, (chunk, 1, H, W, 3)), jnp.float32)
+        batched, hs, meta = step(params, batched, frames)
+        _ = np.asarray(hs)
+        flops = _flops_per_frame(step, params, batched, frames)
+        flops = flops / chunk if flops else flops
+        n_calls = max(1, n_frames // chunk)
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            batched, hs, meta = step(params, batched, frames)
+        _ = np.asarray(hs)
+        return n_calls * chunk / (time.perf_counter() - t0), flops
+
     inner = build_window_track_step(cfg, tp, wp)._raw_step
     step = jax.jit(lambda p, s, f: jax.vmap(
         lambda si: inner(p, si, f))(s), donate_argnums=(1,))

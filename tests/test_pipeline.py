@@ -69,6 +69,69 @@ def test_multi_target_tracks_three_boxes():
     assert meta["global_H_success"].all()
 
 
+def test_multi_target_chunk_matches_per_frame():
+    """build_multi_track_chunk (one dispatch per T frames) must produce the
+    SAME homography sequence and final state as T per-frame vmapped steps —
+    the device-residency rewrite may not change semantics."""
+    from woft_tpu.models.raft import init_raft_params
+    from woft_tpu.pipeline import build_multi_track_chunk
+
+    cfg = RaftConfig(variant="weighted", iters=1)
+    tp = TrackerParams(padding_mode="nopad", redetection="always",
+                       no_local_h=True)
+    wp = WindowParams(size=S, margin=0.4, min_px=20)
+    params = init_raft_params(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(3)
+    base = jnp.asarray(rng.uniform(0, 255, (1, H_IMG, W_IMG, 3)),
+                       jnp.float32)
+    masks = np.zeros((2, H_IMG, W_IMG), bool)
+    masks[0, 10:40, 10:50] = True
+    masks[1, 50:90, 20:60] = True
+    states = [window_init_state(params, cfg, tp, wp, base,
+                                jnp.asarray(m)) for m in masks]
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    T = 3
+    frames = jnp.asarray(rng.uniform(0, 255, (T, 1, H_IMG, W_IMG, 3)),
+                         jnp.float32)
+
+    pure = build_window_track_step(cfg, tp, wp)._raw_step
+    step = jax.jit(lambda p, s, f: jax.vmap(
+        lambda si: pure(p, si, f))(s))
+    s_ref, hs_ref = batched, []
+    for t in range(T):
+        s_ref, h, meta_ref = step(params, s_ref, frames[t])
+        hs_ref.append(h)
+    hs_ref = np.stack([np.asarray(h) for h in hs_ref])
+
+    chunk = build_multi_track_chunk(cfg, tp, wp)
+    s_chk, hs_chk, meta_chk = chunk(
+        params, jax.tree.map(jnp.copy, batched), frames)
+
+    np.testing.assert_allclose(np.asarray(hs_chk), hs_ref, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_chk), jax.tree.leaves(s_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    assert np.asarray(meta_chk["global_H_success"]).shape == (T, 2)
+
+    # uint8-BGR in-graph conversion path == host-converted float path
+    chunk_u8 = build_multi_track_chunk(cfg, tp, wp, bgr_u8=True)
+    frames_u8 = jnp.asarray(
+        np.asarray(frames).astype(np.uint8)[..., ::-1])
+    s_u8, hs_u8, _ = chunk_u8(
+        params, jax.tree.map(jnp.copy, batched),
+        jnp.asarray(np.asarray(frames, np.float32).astype(np.uint8)
+                    [..., ::-1]))
+    del s_u8
+    chunk_f = build_multi_track_chunk(cfg, tp, wp)
+    _, hs_f, _ = chunk_f(
+        params, jax.tree.map(jnp.copy, batched),
+        jnp.asarray(np.asarray(frames, np.float32).astype(np.uint8)
+                    .astype(np.float32)))
+    np.testing.assert_allclose(np.asarray(hs_u8), np.asarray(hs_f),
+                               atol=1e-5)
+
+
 def _write_jpg_seq(dirpath, n=5):
     """A small textured clip: base noise image translating 1 px/frame."""
     import cv2
