@@ -281,8 +281,11 @@ def bench_multi(jax, jnp, H, W, n_frames, precision, window, n_targets=8):
             rng.uniform(0, 255, (chunk, 1, H, W, 3)), jnp.float32)
         batched, hs, meta = step(params, batched, frames)
         _ = np.asarray(hs)
+        # XLA cost analysis counts a lax.scan body ONCE regardless of trip
+        # count (observed on-chip: the chunk=8 program reports the same
+        # flops as one per-frame step), so the per-frame flops of the
+        # chunked program is the raw number, NOT raw/chunk.
         flops = _flops_per_frame(step, params, batched, frames)
-        flops = flops / chunk if flops else flops
         n_calls = max(1, n_frames // chunk)
         t0 = time.perf_counter()
         for _ in range(n_calls):
