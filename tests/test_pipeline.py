@@ -170,6 +170,43 @@ def test_native_frameloader_matches_cv2(tmp_path):
         assert np.abs(g - want).max() <= 1.0, (p, np.abs(g - want).max())
 
 
+def test_native_frameloader_uint8_mode(tmp_path):
+    """as_uint8=True must return uint8 RGB frames equal to the f32 path."""
+    woft_native = pytest.importorskip("woft_native")
+    paths = _write_jpg_seq(tmp_path, n=4)
+    lf = woft_native.FrameLoader(paths, n_threads=2, prefetch=2)
+    lu = woft_native.FrameLoader(paths, n_threads=2, prefetch=2, as_uint8=1)
+    while True:
+        f = lf.next_frame()
+        u = lu.next_frame()
+        assert (f is None) == (u is None)
+        if f is None:
+            break
+        assert u.dtype == np.uint8 and f.dtype == np.float32
+        np.testing.assert_array_equal(u.astype(np.float32), f)
+
+
+def test_track_video_uint8_upload_matches_f32(tmp_path):
+    """track_video(uint8_upload=True) must produce the same homographies
+    as the float32 upload path (frames are 0..255 integers from JPEG)."""
+    from woft_tpu.models.raft import init_raft_params
+    from woft_tpu.pipeline import track_video
+    from woft_tpu.tracker.window_step import window_params_for_mask
+
+    paths = _write_jpg_seq(tmp_path, n=4)
+    cfg = RaftConfig(variant="weighted", iters=1)
+    params = init_raft_params(jax.random.PRNGKey(0), cfg)
+    tp = TrackerParams(redetection="always", no_local_h=True,
+                       padding_mode="nopad")
+    mask = np.zeros((H_IMG, W_IMG), bool)
+    mask[24:72, 32:96] = True
+    wp = window_params_for_mask(mask, size=S, min_px=20.0)
+    hs_f = track_video(params, cfg, tp, wp, tmp_path, mask, sync_every=2)
+    hs_u = track_video(params, cfg, tp, wp, tmp_path, mask, sync_every=2,
+                       uint8_upload=True)
+    np.testing.assert_allclose(hs_u, hs_f, atol=1e-6)
+
+
 def test_track_video_end_to_end(tmp_path):
     """track_video (BASELINE config 5 driver) over a jpg dir: native
     threaded decode -> device window steps -> deferred H fetches."""

@@ -93,12 +93,16 @@ def run_stream(n, native=True):
                 yield frame[:, :, ::-1].astype(np.float32)
 
         pipeline._frame_source = no_native
+    # WOFT_STREAM_U8=1: uint8 uploads + in-graph cast (4x fewer bytes
+    # through the tunnel; NEW jaxpr -> fresh compile on first use)
+    import os
+    u8 = bool(int(os.environ.get("WOFT_STREAM_U8", "0")))
     # warm compile on the first few frames, then time a fresh pass
     _ = pipeline.track_video(params, cfg, tp, wp, FRAME_DIR, mask,
-                             max_frames=4)
+                             max_frames=4, uint8_upload=u8)
     t0 = time.perf_counter()
     hs = pipeline.track_video(params, cfg, tp, wp, FRAME_DIR, mask,
-                              max_frames=n)
+                              max_frames=n, uint8_upload=u8)
     dt = time.perf_counter() - t0
     if not native:
         pipeline._frame_source = orig

@@ -221,7 +221,8 @@ PyObject* py_bgr_to_rgb_f32(PyObject*, PyObject* args) {
 // ---------------------------------------------------------------------------
 
 struct Frame {
-  std::vector<float> rgb;   // (h, w, 3) float32 RGB
+  std::vector<float> rgb;          // (h, w, 3) float32 RGB
+  std::vector<unsigned char> rgb8; // (h, w, 3) uint8 RGB (as_uint8 mode)
   int height = 0;
   int width = 0;
   std::string error;
@@ -230,6 +231,7 @@ struct Frame {
 struct LoaderState {
   std::vector<std::string> paths;
   int pad_h = -1, pad_w = -1;
+  bool as_u8 = false;  // skip the f32 convert; consumer casts on-device
   size_t prefetch = 4;
   std::deque<std::pair<size_t, std::shared_ptr<Frame>>> ready;
   size_t next_submit = 0;   // next index a worker may take
@@ -262,9 +264,21 @@ struct LoaderState {
         const int ow = pad_w > 0 ? pad_w : img.width;
         frame->height = oh;
         frame->width = ow;
-        frame->rgb.assign(static_cast<size_t>(oh) * ow * 3, 0.0f);
-        bgr_to_rgb_f32_kernel(img.data.data(), frame->rgb.data(), img.height,
-                              img.width, oh, ow, /*swap=*/false);
+        if (as_u8) {
+          // keep uint8 end-to-end: 4x fewer bytes for the host->device
+          // upload; the jitted step casts to f32 in-graph
+          frame->rgb8.assign(static_cast<size_t>(oh) * ow * 3, 0);
+          const int copy_w = img.width < ow ? img.width : ow;
+          const int copy_h = img.height < oh ? img.height : oh;
+          for (int y = 0; y < copy_h; ++y)
+            std::memcpy(frame->rgb8.data() + static_cast<size_t>(y) * ow * 3,
+                        img.data.data() + static_cast<size_t>(y) * img.width * 3,
+                        static_cast<size_t>(copy_w) * 3);
+        } else {
+          frame->rgb.assign(static_cast<size_t>(oh) * ow * 3, 0.0f);
+          bgr_to_rgb_f32_kernel(img.data.data(), frame->rgb.data(),
+                                img.height, img.width, oh, ow, /*swap=*/false);
+        }
       }
       {
         std::lock_guard<std::mutex> lock(mu);
@@ -314,13 +328,13 @@ struct PyFrameLoader {
 };
 
 int loader_init(PyObject* self_obj, PyObject* args, PyObject* kwargs) {
-  static const char* kwlist[] = {"paths",     "n_threads", "prefetch",
-                                 "pad_h",     "pad_w",     nullptr};
+  static const char* kwlist[] = {"paths", "n_threads", "prefetch",
+                                 "pad_h", "pad_w",     "as_uint8", nullptr};
   PyObject* paths_obj;
-  int n_threads = 2, prefetch = 4, pad_h = -1, pad_w = -1;
+  int n_threads = 2, prefetch = 4, pad_h = -1, pad_w = -1, as_uint8 = 0;
   if (!PyArg_ParseTupleAndKeywords(
-          args, kwargs, "O|iiii", const_cast<char**>(kwlist), &paths_obj,
-          &n_threads, &prefetch, &pad_h, &pad_w))
+          args, kwargs, "O|iiiii", const_cast<char**>(kwlist), &paths_obj,
+          &n_threads, &prefetch, &pad_h, &pad_w, &as_uint8))
     return -1;
 
   auto* self = reinterpret_cast<PyFrameLoader*>(self_obj);
@@ -328,6 +342,7 @@ int loader_init(PyObject* self_obj, PyObject* args, PyObject* kwargs) {
   self->state->prefetch = static_cast<size_t>(prefetch);
   self->state->pad_h = pad_h;
   self->state->pad_w = pad_w;
+  self->state->as_u8 = as_uint8 != 0;
 
   PyObject* seq = PySequence_Fast(paths_obj, "paths must be a sequence");
   if (!seq) return -1;
@@ -376,6 +391,13 @@ PyObject* loader_next_frame(PyObject* self_obj, PyObject*) {
     return nullptr;
   }
   npy_intp dims[3] = {frame->height, frame->width, 3};
+  if (!frame->rgb8.empty()) {
+    PyObject* arr = PyArray_SimpleNew(3, dims, NPY_UINT8);
+    if (!arr) return nullptr;
+    std::memcpy(PyArray_DATA(reinterpret_cast<PyArrayObject*>(arr)),
+                frame->rgb8.data(), frame->rgb8.size());
+    return arr;
+  }
   PyObject* arr = PyArray_SimpleNew(3, dims, NPY_FLOAT32);
   if (!arr) return nullptr;
   std::memcpy(PyArray_DATA(reinterpret_cast<PyArrayObject*>(arr)),
@@ -390,7 +412,8 @@ PyObject* loader_len(PyObject* self_obj, PyObject*) {
 
 PyMethodDef loader_methods[] = {
     {"next_frame", loader_next_frame, METH_NOARGS,
-     "Next decoded (H, W, 3) float32 RGB frame, or None at end."},
+     "Next decoded (H, W, 3) RGB frame (float32, or uint8 with "
+     "as_uint8=True), or None at end."},
     {"num_frames", loader_len, METH_NOARGS, "Total frame count."},
     {nullptr, nullptr, 0, nullptr}};
 

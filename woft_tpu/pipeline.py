@@ -27,8 +27,9 @@ from .tracker.window_step import (WindowParams, build_window_track_step,
 logger = logging.getLogger(__name__)
 
 
-def _frame_source(video_path, n_threads=4, prefetch=6):
-    """Yield (H, W, 3) float32 RGB frames; native loader for jpg dirs."""
+def _frame_source(video_path, n_threads=4, prefetch=6, as_uint8=False):
+    """Yield (H, W, 3) RGB frames (float32, or uint8 with ``as_uint8``);
+    native loader for jpg dirs."""
     path = Path(video_path)
     if path.is_dir():
         jpgs = sorted(str(p) for p in path.iterdir()
@@ -37,7 +38,8 @@ def _frame_source(video_path, n_threads=4, prefetch=6):
             try:
                 import woft_native
                 loader = woft_native.FrameLoader(jpgs, n_threads=n_threads,
-                                                 prefetch=prefetch)
+                                                 prefetch=prefetch,
+                                                 as_uint8=int(as_uint8))
                 while True:
                     frame = loader.next_frame()
                     if frame is None:
@@ -52,20 +54,26 @@ def _frame_source(video_path, n_threads=4, prefetch=6):
         ok, frame = cap.read()
         if not ok or frame is None:
             return
-        yield frame[:, :, ::-1].astype(np.float32)
+        rgb = frame[:, :, ::-1]
+        yield np.ascontiguousarray(rgb) if as_uint8 \
+            else rgb.astype(np.float32)
 
 
 def track_video(params, raft_cfg: RaftConfig, tp: TrackerParams,
                 wp: WindowParams, video_path, mask, *, sync_every=8,
-                max_frames=0):
+                max_frames=0, uint8_upload=False):
     """Track one clip end-to-end; returns (T, 3, 3) homographies.
 
     ``sync_every`` controls how many device steps run between host fetches
     of the accumulated homographies (larger = better overlap, more latency).
+    ``uint8_upload`` streams uint8 RGB frames to the device and casts
+    in-graph — 4x fewer bytes over the host link (a 4K f32 frame is 95 MB
+    through the axon tunnel), and the native loader skips its f32 convert.
     """
-    source = _frame_source(video_path)
+    source = _frame_source(video_path, as_uint8=uint8_upload)
     first = next(source)
-    frame0 = jnp.asarray(first)[None]
+    # init runs once; the encoder path expects f32 (cast on host is fine)
+    frame0 = jnp.asarray(np.asarray(first, np.float32))[None]
     state = window_init_state(params, raft_cfg, tp, wp, frame0,
                               jnp.asarray(np.asarray(mask) > 0))
     step = build_window_track_step(raft_cfg, tp, wp)

@@ -256,6 +256,12 @@ def build_window_track_step(raft_cfg: RaftConfig, tp: TrackerParams,
                  and tp.padding_mode == "nopad")
 
     def step(params, state, frame):
+        # Accept uint8 uploads (4x fewer bytes over a slow host link — a 4K
+        # f32 frame is 95 MB through the tunnel) and cast in-graph. The
+        # trace-time branch keeps the jaxpr — and hence the compile cache —
+        # identical for float32 callers.
+        if frame.dtype != jnp.float32:
+            frame = frame.astype(jnp.float32)
         frame_hw = frame.shape[1:3]
         hw = Sh * Sw
         # pre-warp reset escalation (ref:YAOF:78-79)
