@@ -117,11 +117,9 @@ def test_multi_target_chunk_matches_per_frame():
     # uint8-BGR in-graph conversion path == host-converted float path
     chunk_u8 = build_multi_track_chunk(cfg, tp, wp, bgr_u8=True)
     frames_u8 = jnp.asarray(
-        np.asarray(frames).astype(np.uint8)[..., ::-1])
+        np.asarray(frames, np.float32).astype(np.uint8)[..., ::-1])
     s_u8, hs_u8, _ = chunk_u8(
-        params, jax.tree.map(jnp.copy, batched),
-        jnp.asarray(np.asarray(frames, np.float32).astype(np.uint8)
-                    [..., ::-1]))
+        params, jax.tree.map(jnp.copy, batched), frames_u8)
     del s_u8
     chunk_f = build_multi_track_chunk(cfg, tp, wp)
     _, hs_f, _ = chunk_f(

@@ -78,25 +78,44 @@ def run_stream(n, native=True):
     mask[2160 // 3:2 * 2160 // 3, 3840 // 3:2 * 3840 // 3] = True
     wp = window_params_for_mask(mask, size=256)
 
-    if not native:
-        # force the cv2 fallback path
-        orig = pipeline._frame_source
+    orig = pipeline._frame_source
+    if native:
+        # a silently-missing .so benchmarks the wrong subject (the r4
+        # incident): fail loudly instead of falling back
+        import woft_native  # noqa: F401  (ImportError = bench misconfigured)
 
+        def checked(path, **kw):
+            src = orig(path, **kw)
+            first = next(src)
+            assert pipeline.LAST_SOURCE == "native", \
+                "native loader requested but cv2 fallback engaged"
+            yield first
+            yield from src
+
+        pipeline._frame_source = checked
+    else:
+        # force the cv2 fallback path (honoring as_uint8 — a f32-only
+        # fallback would mislabel the u8 A/B row)
         def no_native(path, **kw):
-            import woft_tpu.utils.io as io_mod
             from woft_tpu.utils.io import GeneralVideoCapture
+            as_u8 = bool(kw.get("as_uint8", False))
             cap = GeneralVideoCapture(path)
             while True:
                 ok, frame = cap.read()
                 if not ok or frame is None:
                     return
-                yield frame[:, :, ::-1].astype(np.float32)
+                rgb = frame[:, :, ::-1]
+                yield (np.ascontiguousarray(rgb) if as_u8
+                       else rgb.astype(np.float32))
 
         pipeline._frame_source = no_native
     # WOFT_STREAM_U8=1: uint8 uploads + in-graph cast (4x fewer bytes
     # through the tunnel; NEW jaxpr -> fresh compile on first use)
     import os
     u8 = bool(int(os.environ.get("WOFT_STREAM_U8", "0")))
+    probe = next(pipeline._frame_source(FRAME_DIR, as_uint8=u8))
+    print(f"[stream] source={'native' if native else 'cv2'} "
+          f"upload dtype={probe.dtype} shape={probe.shape}", flush=True)
     # warm compile on the first few frames, then time a fresh pass
     _ = pipeline.track_video(params, cfg, tp, wp, FRAME_DIR, mask,
                              max_frames=4, uint8_upload=u8)
@@ -104,8 +123,7 @@ def run_stream(n, native=True):
     hs = pipeline.track_video(params, cfg, tp, wp, FRAME_DIR, mask,
                               max_frames=n, uint8_upload=u8)
     dt = time.perf_counter() - t0
-    if not native:
-        pipeline._frame_source = orig
+    pipeline._frame_source = orig
     return (len(hs) - 1) / dt
 
 
@@ -113,6 +131,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=100)
     args = ap.parse_args()
+
+    # rebuild the native loader in-session (the r4 lesson: a stale/missing
+    # .so silently benchmarked cv2); cheap no-op when already current
+    import subprocess
+    repo = Path(__file__).resolve().parent.parent
+    subprocess.run([sys.executable, "setup.py", "build_ext", "--inplace"],
+                   cwd=repo, check=True, capture_output=True)
+    import woft_native  # noqa: F401 — hard requirement for this bench
+    print(f"[stream] woft_native: {woft_native.__file__}", flush=True)
 
     n = build_4k_frames(args.frames)
     print(f"4K sequence: {n} frames at {FRAME_DIR}", flush=True)
