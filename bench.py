@@ -187,6 +187,27 @@ def bench_full(jax, jnp, H, W, n_frames, precision):
         template = frames[0]
 
     state = tracker_init_state(params, cfg, tp, template, jnp.asarray(mask))
+
+    chunk = int(os.environ.get("WOFT_BENCH_CHUNK", 0))
+    if chunk > 1 and redetect == "always":
+        # device-resident chunked stepping: one dispatch per `chunk` frames
+        # (r5: the per-frame loop pays ~8 ms/frame dispatch+sync on top of
+        # 59.4 ms device time at 1080p)
+        from woft_tpu.pipeline import build_full_track_chunk
+        step = build_full_track_chunk(cfg, tp)
+        fstack = jnp.stack(frames[:4] * (max(chunk, 4) // 4))[:chunk]
+        for _ in range(3):     # warm >=3: post-compile autotune (CLAUDE.md)
+            state, hs, meta = step(params, state, fstack)
+        _ = np.asarray(hs)
+        # scan body counted once by XLA cost analysis == per-frame flops
+        flops = _flops_per_frame(step, params, state, fstack)
+        n_calls = max(1, n_frames // chunk)
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            state, hs, meta = step(params, state, fstack)
+        _ = np.asarray(hs)
+        return n_calls * chunk / (time.perf_counter() - t0), flops
+
     step = build_track_step(cfg, tp)
 
     for f in frames[:3]:       # compile + flush post-compile slow paths
@@ -260,6 +281,40 @@ def bench_multi(jax, jnp, H, W, n_frames, precision, window, n_targets=8):
 
     rng = np.random.default_rng(0)
     base = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)), jnp.float32)
+
+    if os.environ.get("WOFT_BENCH_MULTI_MODE") == "shared":
+        # BASELINE config 4 as written: ONE full-frame flow / shared
+        # correlation volume, N vmapped TC-select + weighted-QR fits —
+        # throughput rides the full-frame fps (N * F targets·fr/s)
+        from woft_tpu.tracker import tracker_init_state
+        from woft_tpu.pipeline import build_shared_multi_chunk
+        masks_np = []
+        for t in range(n_targets):
+            m = np.zeros((H, W), bool)
+            y = (t // 4) * (H // 2)
+            x = (t % 4) * (W // 4)
+            m[y + H // 8:y + 3 * H // 8, x + W // 16:x + 3 * W // 16] = True
+            masks_np.append(m.reshape(-1))
+        masks = jnp.asarray(np.stack(masks_np))
+        state = tracker_init_state(params, cfg, tp, base,
+                                   jnp.asarray(masks_np[0].reshape(H, W)))
+        h_last = jnp.tile(jnp.eye(3, dtype=jnp.float32), (n_targets, 1, 1))
+        chunk = max(2, int(os.environ.get("WOFT_BENCH_CHUNK", 0) or 4))
+        step = build_shared_multi_chunk(cfg, tp)
+        fstack = jnp.asarray(
+            rng.uniform(0, 255, (chunk, 1, H, W, 3)), jnp.float32)
+        for _ in range(3):
+            state, h_last, hs, meta = step(params, state, masks, h_last,
+                                           fstack)
+        _ = np.asarray(hs)
+        flops = _flops_per_frame(step, params, state, masks, h_last, fstack)
+        n_calls = max(1, n_frames // chunk)
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            state, h_last, hs, meta = step(params, state, masks, h_last,
+                                           fstack)
+        _ = np.asarray(hs)
+        return n_calls * chunk / (time.perf_counter() - t0), flops
     states = []
     for t in range(n_targets):
         mask = np.zeros((H, W), bool)
@@ -279,7 +334,11 @@ def bench_multi(jax, jnp, H, W, n_frames, precision, window, n_targets=8):
         step = build_multi_track_chunk(cfg, tp, wp)
         frames = jnp.asarray(
             rng.uniform(0, 255, (chunk, 1, H, W, 3)), jnp.float32)
-        batched, hs, meta = step(params, batched, frames)
+        # warm >=3 calls: the first 1-2 executions after a fresh compile are
+        # ~100x slower through the tunnel (post-compile autotune) — matching
+        # bench_window's 3-frame warmup keeps the chunk-vs-per-frame A/B fair
+        for _ in range(3):
+            batched, hs, meta = step(params, batched, frames)
         _ = np.asarray(hs)
         # XLA cost analysis counts a lax.scan body ONCE regardless of trip
         # count (observed on-chip: the chunk=8 program reports the same

@@ -130,6 +130,100 @@ def test_multi_target_chunk_matches_per_frame():
                                atol=1e-5)
 
 
+def test_shared_multi_step_matches_full_tracker():
+    """The shared-flow multi-target mode (one full-frame flow, N vmapped
+    fits — BASELINE config 4 'shared correlation volume') must agree with
+    the single-target full tracker run per mask when the control never
+    loses: target t's homography == build_track_step on mask t whenever
+    both see the same pre-warp (here: identity, zero-motion oracle)."""
+    from woft_tpu.tracker import build_track_step, tracker_init_state
+    from woft_tpu.tracker.woft import build_shared_multi_step
+
+    cfg = RaftConfig(variant="weighted", iters=1)
+    tp = TrackerParams(padding_mode="nopad", redetection="always",
+                       no_local_h=True)
+
+    def tiny_flow(params, img1, img2, template_feats=None):
+        # deterministic near-zero flow: identical for every caller
+        H, W = img2.shape[1:3]
+        gy = jnp.sin(jnp.arange(H) / 17.0)[None, :, None, None]
+        gx = jnp.cos(jnp.arange(W) / 13.0)[None, None, :, None]
+        return (0.05 * jnp.concatenate(
+            [gx + 0 * gy, gy + 0 * gx], -1)
+            * jnp.ones((1, H, W, 2)),
+            jnp.ones((1, H, W, 1)))
+
+    rng = np.random.default_rng(0)
+    base_np = rng.uniform(0, 255, (1, H_IMG, W_IMG, 3)).astype(np.float32)
+    frame_np = rng.uniform(0, 255, (1, H_IMG, W_IMG, 3)).astype(np.float32)
+    masks_np = np.zeros((3, H_IMG, W_IMG), bool)
+    masks_np[0, 10:40, 10:50] = True
+    masks_np[1, 50:90, 20:60] = True
+    masks_np[2, 20:70, 70:120] = True
+
+    shared = build_shared_multi_step(cfg, tp, flow_fn=tiny_flow)
+    state = tracker_init_state({}, cfg, tp, jnp.asarray(base_np),
+                               jnp.asarray(masks_np[0]), encode=False)
+    masks = jnp.asarray(masks_np.reshape(3, -1))
+    h_last = jnp.tile(jnp.eye(3, dtype=jnp.float32), (3, 1, 1))
+    _, h_last2, hs, meta = shared({}, state, masks, h_last,
+                                  jnp.asarray(frame_np))
+    assert hs.shape == (3, 3, 3)
+    assert np.asarray(meta["global_H_success"]).shape == (3,)
+
+    step = build_track_step(cfg, tp, flow_fn=tiny_flow)
+    for t in range(3):
+        # fresh device buffers each round: the CPU step donates its state,
+        # which would invalidate a shared `base` array after the first call
+        st = tracker_init_state({}, cfg, tp, jnp.asarray(base_np),
+                                jnp.asarray(masks_np[t]), encode=False)
+        _, h_ref, _ = step({}, st, jnp.asarray(frame_np))
+        # vmapped vs single f32 QR takes different LAPACK paths; observed
+        # jitter up to ~1e-4 on H entries of O(1) — semantics identical
+        np.testing.assert_allclose(np.asarray(hs[t]), np.asarray(h_ref),
+                                   atol=1e-3)
+
+
+def test_full_track_chunk_matches_per_frame():
+    """build_full_track_chunk (scan over T frames) == T per-frame steps."""
+    from woft_tpu.models.raft import init_raft_params
+    from woft_tpu.pipeline import build_full_track_chunk
+    from woft_tpu.tracker import build_track_step, tracker_init_state
+
+    cfg = RaftConfig(variant="weighted", iters=1)
+    tp = TrackerParams(padding_mode="nopad", redetection="always",
+                       no_local_h=True)
+    params = init_raft_params(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(5)
+    base = jnp.asarray(rng.uniform(0, 255, (1, H_IMG, W_IMG, 3)),
+                       jnp.float32)
+    mask = np.zeros((H_IMG, W_IMG), bool)
+    mask[24:72, 32:96] = True
+    T = 3
+    frames = jnp.asarray(rng.uniform(0, 255, (T, 1, H_IMG, W_IMG, 3)),
+                         jnp.float32)
+
+    # both init states BEFORE any step: the CPU step donates its state,
+    # which would invalidate the shared `base` buffer mid-test
+    state0 = tracker_init_state(params, cfg, tp, jnp.copy(base),
+                                jnp.asarray(mask))
+    state0b = tracker_init_state(params, cfg, tp, jnp.copy(base),
+                                 jnp.asarray(mask))
+    step = build_track_step(cfg, tp)
+    s_ref, hs_ref = state0, []
+    for t in range(T):
+        s_ref, h, _ = step(params, s_ref, jnp.copy(frames[t]))
+        hs_ref.append(np.asarray(h))
+
+    chunk = build_full_track_chunk(cfg, tp)
+    s_chk, hs_chk, meta = chunk(params, state0b, frames)
+    np.testing.assert_allclose(np.asarray(hs_chk), np.stack(hs_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_chk.prev_h2init),
+                               np.asarray(s_ref.prev_h2init), atol=1e-5)
+
+
 def _write_jpg_seq(dirpath, n=5):
     """A small textured clip: base noise image translating 1 px/frame."""
     import cv2

@@ -71,6 +71,54 @@ def test_spatial_sharded_forward_matches_replicated():
         "collective-permute" in hlo, "no collectives — volume not sharded?"
 
 
+def test_spatial_sharded_forward_local_blocks():
+    """spatial_sharded_forward with the PRODUCTION big-frame impl
+    (corr_impl='local'): block-local volumes sharded over their leading
+    block axis. Outputs must match the unsharded forward, and the compiled
+    module must carry the volume in its SHARDED per-device shape — the
+    scale-up impl and the scale-out leg compose (VERDICT r4 weak #6)."""
+    from woft_tpu.models.raft import weighted_raft_forward
+    from woft_tpu.models.corr import _local_layout
+
+    cfg = RaftConfig(variant="weighted", iters=4, small=True,
+                     weight_head_structure=((32, 3),), precision="highest",
+                     corr_impl="local")
+    params = init_raft_params(jax.random.PRNGKey(0), cfg)
+    img1 = jax.random.uniform(jax.random.PRNGKey(1), (1, 128, 256, 3),
+                              minval=0.0, maxval=255.0)
+    img2 = jax.random.uniform(jax.random.PRNGKey(2), (1, 128, 256, 3),
+                              minval=0.0, maxval=255.0)
+
+    ref = weighted_raft_forward(params, cfg, img1, img2)
+    mesh = make_mesh(8, sp=4)
+    with mesh:
+        fwd = spatial_sharded_forward(mesh, cfg)
+        params_r = replicate(mesh, params)
+        img1_r = replicate(mesh, img1)
+        img2_s = jax.device_put(
+            img2, NamedSharding(mesh, P(None, None, "sp", None)))
+        flow_up, weights_up = fwd(params_r, img1_r, img2_s)
+        hlo = fwd.lower(params_r, img1_r, img2_s).compile().as_text()
+
+    assert np.allclose(np.asarray(flow_up), np.asarray(ref["flow_up"]),
+                       atol=1e-3), np.abs(
+        np.asarray(flow_up) - np.asarray(ref["flow_up"])).max()
+    assert np.allclose(np.asarray(weights_up),
+                       np.asarray(ref["weights_up"]), atol=1e-3)
+
+    # level-0 volume (q layout on CPU): (NB*BQ, wh, ww) — the compiled
+    # module must hold the per-device 1/sp slice, proving the volume
+    # stayed sharded in HBM rather than replicated
+    meta = _local_layout(128 // 8, 256 // 8, cfg.radius, cfg.corr_levels,
+                         cfg.local_margin, (8, 16))
+    nb = meta["nbh"] * meta["nbw"]
+    bq = meta["bh"] * meta["bw"]
+    d0 = dict(meta["levels"][0])
+    sharded_shape = f"[{nb * bq // 4},{d0['wh']},{d0['ww']}]"
+    assert sharded_shape in hlo, (
+        f"sharded level-0 volume {sharded_shape} not in compiled HLO")
+
+
 def test_sharded_train_step_runs_and_reduces():
     mesh = make_mesh(8, sp=2)
     cfg = RaftConfig(variant="weighted", iters=1, precision="default")

@@ -77,7 +77,8 @@ def main():
             key = args.get("long_name") or name
             by_name[key[:120]] += e["dur"]
             total += e["dur"]
-    top = sorted(by_name.items(), key=lambda kv: -kv[1])[:45]
+    n_rows = int(os.environ.get("WOFT_TRACE_ROWS", "45"))
+    top = sorted(by_name.items(), key=lambda kv: -kv[1])[:n_rows]
     print(f"total traced op-time: {total / 1e3:.1f} ms (3 steps)")
     for name, dur in top:
         print(f"{dur / 1e3 / 3:9.2f} ms/step  {name}")

@@ -60,10 +60,17 @@ class RaftConfig:
                                        # off — on-chip correct but SLOWER
                                        # in-graph than XLA (r4 measured:
                                        # 12.0 vs 14.6 fps @1080p), opt-in
-    tail_pallas: Optional[bool] = None  # fused motion-encoder 3x3 stack +
-                                        # flow-head kernels in the loop
+    tail_pallas: Optional[bool] = None  # fused flow-head kernel in the loop
                                         # (ops/pallas/update_tail.py; same
-                                        # gating as gru_pallas; opt-in)
+                                        # gating as gru_pallas; opt-in —
+                                        # on-chip correct but SLOWER
+                                        # in-graph than XLA at both window
+                                        # and full-frame scales (r4: 9.71 vs
+                                        # 14.85 fps @1080p full; the fused
+                                        # motion encoder likewise lost
+                                        # in-graph, 1.95 vs 0.99 ms, and is
+                                        # pinned to XLA — see RESULTS.md r4
+                                        # kernel A/B ladder)
     fine_check: bool = True            # corr_impl='local' fine lookups:
                                        # analytic spread guard with exact
                                        # full-slab lax.cond fallback (see
@@ -589,12 +596,13 @@ def _raft_forward(params, cfg, image1, image2, flow_init, iters,
                                          cfg.corr_levels,
                                          chunk=min(cfg.alt_chunk,
                                                    B * H1 * W1))
-    elif cfg.corr_impl == "local" and B == 1 and corr_shard is None:
+    elif cfg.corr_impl == "local" and B == 1:
         # block-local recentered volume: the TPU fast path (see
         # corr.build_local_corr) — exact within +-local_margin cells of
         # post-prewarp residual, saturated beyond
-        from .corr import (build_local_corr, corr_lookup_local,
-                           corr_lookup_local_blocked, corr_mean_response)
+        from .corr import (LocalCorrVolumes, build_local_corr,
+                           corr_lookup_local, corr_lookup_local_blocked,
+                           corr_mean_response)
 
         vol_dtype = (jnp.bfloat16 if cfg.precision in ("default", "bf16")
                      else None)
@@ -605,6 +613,14 @@ def _raft_forward(params, cfg, image1, image2, flow_init, iters,
             radius, cfg.corr_levels, margin=cfg.local_margin,
             out_dtype=vol_dtype, precision=cfg.lax_precision,
             use_pallas=use_p, layout="p" if use_p else "q")
+        if corr_shard is not None:
+            # spatial scale-out: blocks are mutually independent, so the
+            # hook shards each level over its leading (block) axis —
+            # construction AND lookup partition with zero communication
+            # (parallel/sharding.py spatial_sharded_forward 'local' mode)
+            local_vol = LocalCorrVolumes(
+                [corr_shard(l, v) for l, v in enumerate(local_vol.volumes)],
+                local_vol.meta)
         mean_response = corr_mean_response(fmap1.astype(jnp.float32),
                                            fmap2.astype(jnp.float32))
 

@@ -87,21 +87,36 @@ def spatial_sharded_forward(mesh, cfg, iters=None):
       over it, so each lookup all-reduces a tiny (Q, k+1, k+1) partial —
       ~200 KB/level at 1/8-scale 4K — over ICI.
 
-    Requires a pyramid ``corr_impl`` ('onehot' recommended); levels whose
-    Wl does not divide sp are left replicated (the pooled tail is cheap).
+    Pyramid impls ('onehot' recommended) shard key columns; the production
+    big-frame impl ``corr_impl='local'`` shards the block-local volumes over
+    their leading BLOCK axis instead — blocks are mutually independent
+    (models/corr.py build_local_corr), so construction and every lookup
+    partition with no volume communication at all. Levels whose sharded
+    axis does not divide sp are left replicated (the pooled tail is cheap).
     Returns ``fwd(params, img1, img2) -> (flow_up, weights_up)``.
     """
     from ..models.raft import weighted_raft_forward
 
-    assert cfg.corr_impl in ("onehot", "gather", "rowgather"), (
-        "spatial sharding needs a pyramid corr_impl, got " + cfg.corr_impl)
+    assert cfg.corr_impl in ("onehot", "gather", "rowgather", "local"), (
+        "spatial sharding needs a pyramid or block-local corr_impl, got "
+        + cfg.corr_impl)
     sp = mesh.shape["sp"]
-    key_ns = NamedSharding(mesh, P(None, None, "sp"))
+    if cfg.corr_impl == "local":
+        # (NB*BQ, wh, ww) q-layout or (NB, wh, ww, BQ) p-layout: the
+        # leading axis is blocks either way
+        block_ns = NamedSharding(mesh, P("sp"))
 
-    def shard_level(_l, corr_l):
-        if corr_l.shape[2] % sp == 0:
-            return jax.lax.with_sharding_constraint(corr_l, key_ns)
-        return corr_l
+        def shard_level(_l, corr_l):
+            if corr_l.shape[0] % sp == 0:
+                return jax.lax.with_sharding_constraint(corr_l, block_ns)
+            return corr_l
+    else:
+        key_ns = NamedSharding(mesh, P(None, None, "sp"))
+
+        def shard_level(_l, corr_l):
+            if corr_l.shape[2] % sp == 0:
+                return jax.lax.with_sharding_constraint(corr_l, key_ns)
+            return corr_l
 
     def fwd(params, img1, img2):
         out = weighted_raft_forward(params, cfg, img1, img2, iters=iters,

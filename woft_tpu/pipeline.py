@@ -27,9 +27,16 @@ from .tracker.window_step import (WindowParams, build_window_track_step,
 logger = logging.getLogger(__name__)
 
 
+#: which decode path the most recent ``_frame_source`` call engaged
+#: ('native' | 'cv2') — benches assert on this so a missing .so cannot
+#: silently benchmark the fallback (the r4 stream_4k incident).
+LAST_SOURCE = None
+
+
 def _frame_source(video_path, n_threads=4, prefetch=6, as_uint8=False):
     """Yield (H, W, 3) RGB frames (float32, or uint8 with ``as_uint8``);
     native loader for jpg dirs."""
+    global LAST_SOURCE
     path = Path(video_path)
     if path.is_dir():
         jpgs = sorted(str(p) for p in path.iterdir()
@@ -40,6 +47,7 @@ def _frame_source(video_path, n_threads=4, prefetch=6, as_uint8=False):
                 loader = woft_native.FrameLoader(jpgs, n_threads=n_threads,
                                                  prefetch=prefetch,
                                                  as_uint8=int(as_uint8))
+                LAST_SOURCE = "native"
                 while True:
                     frame = loader.next_frame()
                     if frame is None:
@@ -47,7 +55,9 @@ def _frame_source(video_path, n_threads=4, prefetch=6, as_uint8=False):
                     yield frame
                 return
             except ImportError:
-                logger.info("woft_native not built; cv2 fallback")
+                logger.warning("woft_native not built; cv2 fallback "
+                               "(run `python setup.py build_ext --inplace`)")
+    LAST_SOURCE = "cv2"
     from .utils.io import GeneralVideoCapture
     cap = GeneralVideoCapture(video_path)
     while True:
@@ -111,8 +121,14 @@ def build_multi_track_chunk(raft_cfg: RaftConfig, tp: TrackerParams,
     ``bgr_u8=True`` additionally moves the BGR->RGB flip + float32 cast
     in-graph so callers upload uint8 camera frames (4x fewer bytes over the
     host link). Matches the reference's per-frame tracker loop
-    (ref:pytracking/utils/woft_tracking.py) batched over targets and frames.
+    (ref:WOFT_demo.py:58-68 driving ref:pytracking/tracker/WOFT_window.py)
+    batched over targets and frames.
+
+    ``no_local_h`` is forced on (as in ``MultiTargetTracker``): ``lax.cond``
+    under vmap+scan lowers to ``select`` and would execute the full
+    local-fallback RAFT branch for every target on every frame.
     """
+    tp = TrackerParams(**{**tp.__dict__, "no_local_h": True})
     pure = build_window_track_step(raft_cfg, tp, wp,
                                    flow_fn=flow_fn)._raw_step
 
@@ -126,6 +142,69 @@ def build_multi_track_chunk(raft_cfg: RaftConfig, tp: TrackerParams,
         return states, hs, meta
 
     return jax.jit(chunk, donate_argnums=(1,))
+
+
+def build_full_track_chunk(raft_cfg: RaftConfig, tp: TrackerParams,
+                           flow_fn=None, bgr_u8=False):
+    """Device-resident FULL-FRAME stepping over a chunk of frames.
+
+    ``(params, state, frames (T, 1, H, W, 3)) -> (state, hs (T, 3, 3),
+    meta (T, ...))`` — ``lax.scan`` over the chunk with the full-frame
+    tracker step as the body: the host dispatches once per T frames, so
+    the ~8 ms/frame dispatch+sync gap between device time and wall time
+    (r5 trace: 59.4 ms device vs 67 ms wall at 1080p) disappears. Same
+    treatment the window tracker got in r2 (tracker/window_step.py) and
+    the multi-target path in r4 (``build_multi_track_chunk``).
+
+    ``no_local_h`` is forced on: the local-fallback RAFT pass cannot ride
+    a lax.cond at big frames (TPU runtime rejects two full-RAFT branches
+    >=~720p, see TrackerParams.host_fallback) and a scan body cannot
+    host-dispatch. Callers needing the canonical ladder run per-frame
+    with ``host_fallback=True``.
+    """
+    from .tracker.woft import build_track_step
+    tp = TrackerParams(**{**tp.__dict__, "no_local_h": True,
+                          "host_fallback": False})
+    pure = build_track_step(raft_cfg, tp, flow_fn=flow_fn)._raw_step
+
+    def chunk(params, state, frames):
+        def body(s, f):
+            if bgr_u8:
+                f = f[..., ::-1].astype(jnp.float32)
+            s2, h, meta = pure(params, s, f)
+            return s2, (h, meta)
+        state, (hs, meta) = jax.lax.scan(body, state, frames)
+        return state, hs, meta
+
+    return jax.jit(chunk)
+
+
+def build_shared_multi_chunk(raft_cfg: RaftConfig, tp: TrackerParams,
+                             flow_fn=None, bgr_u8=False):
+    """Chunked driver for the shared-flow multi-target mode
+    (tracker/woft.py ``build_shared_multi_step``): one device dispatch per
+    T frames, ONE full-frame flow per frame shared by all N targets.
+
+    ``(params, state, masks (N, H*W), h_last (N, 3, 3),
+    frames (T, 1, H, W, 3)) -> (state, h_last, hs (T, N, 3, 3), meta)``.
+    """
+    from .tracker.woft import build_shared_multi_step
+    tp = TrackerParams(**{**tp.__dict__, "no_local_h": True,
+                          "host_fallback": False})
+    pure = build_shared_multi_step(raft_cfg, tp, flow_fn=flow_fn)._raw_step
+
+    def chunk(params, state, masks, h_last, frames):
+        def body(carry, f):
+            s, hl = carry
+            if bgr_u8:
+                f = f[..., ::-1].astype(jnp.float32)
+            s2, hl2, hs, meta = pure(params, s, masks, hl, f)
+            return (s2, hl2), (hs, meta)
+        (state, h_last), (hs, meta) = jax.lax.scan(body, (state, h_last),
+                                                   frames)
+        return state, h_last, hs, meta
+
+    return jax.jit(chunk)
 
 
 class MultiTargetTracker:

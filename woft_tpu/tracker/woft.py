@@ -517,6 +517,125 @@ def tracker_init_state(params, raft_cfg: RaftConfig, tp: TrackerParams,
         n_lost=jnp.asarray(0, jnp.int32))
 
 
+def build_shared_multi_step(raft_cfg: RaftConfig, tp: TrackerParams,
+                            flow_fn=None):
+    """N targets from ONE full-frame flow field (BASELINE config 4: batched
+    multi-object tracking with a *shared correlation volume*).
+
+    The window-tracker multi mode (pipeline.MultiTargetTracker) runs N
+    independent window pipelines — N RAFT forwards per frame. This mode is
+    the other point on the cost curve: ONE full-frame WOFT step (pre-warp by
+    the control target's last-good H, one WeightedRAFT forward, one shared
+    correlation volume — the single-control discipline of
+    ref:YAOF_tracker_single_control.py:83-131 extended to N fits) and a
+    vmapped per-target TC-selection + weighted-QR fit, which costs ~1 ms
+    for all N targets. Multi-target throughput therefore rides the
+    full-frame fps directly: at F fps the mode delivers N*F targets·fr/s.
+
+    Semantics vs N window trackers: all targets share the control target's
+    pre-warp, so a secondary target moving very differently from the
+    control sees larger flow residuals (the trade the reference's
+    "single control" naming concedes). Each target keeps its own
+    redetection bookkeeping (h_last, lost, n_lost); target 0 is the
+    control and drives the TrackerState ladder exactly as
+    ``build_track_step``.
+
+    Returns ``(params, state, masks (N, H*W) bool, h_last (N, 3, 3),
+    frame) -> (new_state, new_h_last, hs (N, 3, 3), meta)``; jitted,
+    scan-able. ``redetection='always'`` or ``no_local_h`` required (no
+    per-target local-fallback RAFT pass — lax.cond under vmap would run
+    it for every target)."""
+    assert tp.no_local_h or tp.redetection == "always", \
+        "shared-flow multi mode has no per-target local fallback"
+
+    def default_flow(params, img1, img2, template_feats=None):
+        padder = make_padder(tp.padding_mode, img2.shape)
+        if template_feats is None:
+            p1, p2 = padder.pad(img1, img2)
+            out = weighted_raft_forward(params, raft_cfg, p1, p2)
+        else:
+            (p2,) = padder.pad(img2)
+            out = weighted_raft_forward(params, raft_cfg, None, p2,
+                                        template_feats=template_feats)
+        flow = padder.unpad(out["flow_up"])
+        weights = jax.nn.sigmoid(padder.unpad(out["weights_up"])) \
+            if "weights_up" in out else jnp.ones_like(flow[..., :1])
+        return flow, weights
+
+    base_flow = flow_fn if flow_fn is not None else default_flow
+    sparse_ok = (flow_fn is None and tp.sparse_weights
+                 and raft_cfg.variant == "weighted" and not raft_cfg.small
+                 and tp.padding_mode == "nopad")
+
+    def step(params, state: TrackerState, masks, h_last, frame):
+        H_img, W_img = frame.shape[1:3]
+        hw = H_img * W_img
+
+        reset = state.n_lost > tp.no_prewarp_after_n
+        last_good = jnp.where(reset, jnp.eye(3, dtype=jnp.float32),
+                              state.last_good_h2init)
+        prewarped = warp_perspective_fast(
+            frame, last_good,
+            precision="default" if raft_cfg.precision == "bf16"
+            else "highest")
+
+        if sparse_ok:
+            fo = weighted_raft_forward(params, raft_cfg, None, prewarped,
+                                       template_feats=state.template_feats,
+                                       sparse_weight_head=True)
+            flow, weights = fo["flow_up"], None
+        else:
+            flow, weights = base_flow(params, state.template_img, prewarped,
+                                      state.template_feats)[:2]
+
+        dst = (jnp.stack(
+            [(jnp.arange(hw) % W_img).astype(jnp.float32),
+             (jnp.arange(hw) // W_img).astype(jnp.float32)], -1)
+            + flow.reshape(hw, 2))
+        dst_int = jnp.round(dst).astype(jnp.int32)
+        oob = (jnp.any(dst < 0, axis=-1)
+               | (dst_int[:, 0] >= W_img) | (dst_int[:, 1] >= H_img))
+        in_pw = ~oob
+        if tp.use_pw_mask:
+            pts = jnp.stack([jnp.clip(dst_int[:, 0], 0, W_img - 1),
+                             jnp.clip(dst_int[:, 1], 0, H_img - 1)], -1)
+            in_pw &= warp_validity_at(last_good, (H_img, W_img), pts)
+
+        def fit_one(mask_t):
+            valid = mask_t & in_pw
+            if sparse_ok:
+                src_g, dst_g, w_g, sel = _select_tcs_sparse(
+                    flow, fo, valid, tp.subsample_n)
+            else:
+                src_g, dst_g, w_g, sel, _ = _select_tcs(
+                    flow, weights, valid, tp.subsample_n)
+            H_pw2init = _estimate_h(tp, dst_g, src_g, w_g, sel)   # (1,3,3)
+            ok, frac = _success_check(tp, H_pw2init, dst_g, src_g, sel[0:1])
+            return compose_h(last_good, H_pw2init[0]), ok, frac
+
+        hs_fit, oks, fracs = jax.vmap(fit_one)(masks)      # (N,3,3),(N,),(N,)
+        # per-target ladder: keep the last good H when a fit fails
+        hs = jnp.where(oks[:, None, None], hs_fit, h_last)
+        new_h_last = jnp.where(oks[:, None, None], hs_fit, h_last)
+
+        ok0 = oks[0]
+        new_state = TrackerState(
+            template_img=state.template_img,
+            template_feats=state.template_feats,
+            template_mask=state.template_mask,
+            prev_img=frame,
+            prev_h2init=hs[0],
+            last_good_h2init=jnp.where(ok0, hs[0], last_good),
+            lost=~ok0,
+            n_lost=jnp.where(ok0, 0, state.n_lost + 1))
+        meta = {"global_H_success": oks, "inlier_frac": fracs}
+        return new_state, new_h_last, hs, meta
+
+    jitted = jax.jit(step)
+    jitted._raw_step = step
+    return jitted
+
+
 # ---------------------------------------------------------------------------
 # host shell (reference-compatible API)
 # ---------------------------------------------------------------------------
