@@ -9,8 +9,17 @@ Rungs:
   02 full-frame 1080p chunk=8 device-resident scan
   03 shared-flow multi-target x8 (ONE flow, 8 vmapped fits), chunk=4
   04 deep trace of rung-01's graph (WOFT_TRACE_ROWS=120 equivalent)
+  05 window-256 corr_impl='local' (the 178.8 fps r4 baseline, cached)
+  06 window-256 corr_impl='pallas' (VERDICT #8: one in-graph row or
+     formal retirement; fresh compile)
+  07 stream 4K rows (VERDICT #3): native u8 / native f32 / cv2 u8
 
-Usage: python tools/r5_ladder.py [rungs...]   (default: all)
+NOTE (r5): the first run of rungs 01-03 at 05:20 measured 6.4 fps against
+a device time of 58.9 ms/step (the rung-04 trace in the SAME process) — a
+TPU job had been killed at 05:15 and the tunnel was in its slow-drain
+state (CLAUDE.md). Rerun on a quiet tunnel before trusting any row.
+
+Usage: python tools/r5_ladder.py [rungs...]   (default: 01-04)
 """
 
 import json
@@ -84,6 +93,30 @@ def main():
     if "04" in which:
         rung("04 deep trace full per-frame", lambda: (trace_rung(), None)
              and (0.0, None) or (0.0, None))
+    if "05" in which:
+        os.environ["WOFT_BENCH_CORR"] = "local"
+        rung("05 window-256 corr=local",
+             lambda: bench.bench_window(jax, jnp, H, W, 60, prec, window))
+    if "06" in which:
+        os.environ["WOFT_BENCH_CORR"] = "pallas"
+        rung("06 window-256 corr=pallas",
+             lambda: bench.bench_window(jax, jnp, H, W, 60, prec, window))
+        os.environ.pop("WOFT_BENCH_CORR", None)
+    if "07" in which:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import stream_bench as sb
+        n = sb.build_4k_frames(100)
+        log(f"4K frames ready: {n}")
+        d = sb.decode_only_rate(n)
+        print(f"RESULT " + json.dumps(
+            {"rung": "07a 4K native decode-only",
+             "fps": round(d, 1) if d else None}), flush=True)
+        for name, native, u8 in (("07b stream4k native u8", True, 1),
+                                 ("07c stream4k native f32", True, 0),
+                                 ("07d stream4k cv2 u8", False, 1)):
+            os.environ["WOFT_STREAM_U8"] = str(u8)
+            rung(name, lambda nat=native: (sb.run_stream(n, native=nat),
+                                           None))
 
 
 if __name__ == "__main__":
