@@ -81,7 +81,11 @@ def _backend_healthy(timeout_s=None, retries=1):
 
 def _make_cfg(jax, precision):
     from woft_tpu.models.raft import RaftConfig
-    kw = {}
+    # default = the shipped fast config's impl (configs/WOFT_fast.py):
+    # block-local corr wins at BOTH bench scales on-chip (r5 ladder:
+    # window-256 @1080p 211.7 vs 178.8 fps one-hot; full-frame 14.85 vs
+    # ~6.4 fps) and is bit-equal within its tested exactness envelope
+    kw = {"corr_impl": "local"}
     impl = os.environ.get("WOFT_BENCH_CORR")
     if impl:
         kw["corr_impl"] = impl

@@ -49,6 +49,30 @@ def test_pallas_matches_gather_interpret(setup):
     assert np.abs(out - ref).max() < 1e-5
 
 
+def test_pallas_ragged_query_count(setup):
+    """Q not divisible by the query tile (the sparse weight-head path feeds
+    Q = subsample_n * 9, e.g. 4500 % 8 != 0 — r5 on-chip AssertionError):
+    the lookup pads the query axis and slices the zero rows back off."""
+    pyr, _, _ = setup
+    from woft_tpu.ops.pallas import corr_lookup as pcl
+    import jax.experimental.pallas as pl
+
+    rng = np.random.default_rng(7)
+    q = 375                       # 375 % 8 == 7
+    pyr = [lvl[:q] for lvl in pyr]
+    coords = jnp.asarray(rng.uniform(-30, 40, (1, q, 1, 2)), jnp.float32)
+    ref = np.asarray(corr_lookup(pyr, coords, 4, impl="gather"))
+    orig = pl.pallas_call
+    pcl.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        pp = pcl.pad_pyramid(pyr, 4)
+        out = np.asarray(pcl.fused_corr_lookup(pp, coords, radius=4, tq=8))
+    finally:
+        pcl.pl.pallas_call = orig
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() < 1e-5
+
+
 def test_rowgather_matches_gather(setup):
     pyr, coords, ref = setup
     out = np.asarray(corr_lookup(pyr, coords, 4, impl="rowgather"))

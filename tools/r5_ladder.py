@@ -74,18 +74,25 @@ def main():
     which = set(sys.argv[1:]) or {"01", "02", "03", "04"}
     H, W, n, prec, window = 1080, 1920, 30, "bf16", 256
 
+    # full-frame rungs MUST run corr_impl='local' (the WOFT_fast production
+    # impl, ref r4 ladder): the 07:31 Aug-19 run left WOFT_BENCH_CORR unset
+    # and measured the one-hot FULL-VOLUME path (6.4 fps at 2x the flops) —
+    # those rows are config-mislabeled, not a regression vs r4's 14.85.
     if "01" in which:
         os.environ.pop("WOFT_BENCH_CHUNK", None)
+        os.environ["WOFT_BENCH_CORR"] = "local"
         rung("01 full per-frame fastpath",
              lambda: bench.bench_full(jax, jnp, H, W, n, prec))
     if "02" in which:
         os.environ["WOFT_BENCH_CHUNK"] = "8"
+        os.environ["WOFT_BENCH_CORR"] = "local"
         rung("02 full chunk=8",
              lambda: bench.bench_full(jax, jnp, H, W, n, prec))
         os.environ.pop("WOFT_BENCH_CHUNK", None)
     if "03" in which:
         os.environ["WOFT_BENCH_MULTI_MODE"] = "shared"
         os.environ["WOFT_BENCH_CHUNK"] = "4"
+        os.environ["WOFT_BENCH_CORR"] = "local"
         rung("03 shared-flow multi x8",
              lambda: bench.bench_multi(jax, jnp, H, W, n, prec, window, 8))
         os.environ.pop("WOFT_BENCH_MULTI_MODE", None)

@@ -155,10 +155,21 @@ def fused_corr_lookup(padded_pyramid, coords, radius=4, tq=8):
     Q = B * H1 * W1
     L = len(padded_pyramid)
     k = 2 * radius + 1
-    assert Q % tq == 0, (Q, tq)
+    # pad the query axis up to the tile: the sparse weight-head path feeds
+    # Q = subsample_n * 9 (e.g. 4500), which need not divide tq (r5 on-chip
+    # AssertionError (4500, 8)); zero rows read in-bounds and are sliced off
+    Qp = -(-Q // tq) * tq
+    if Qp != Q:
+        padded_pyramid = [jnp.pad(p, ((0, Qp - Q), (0, 0), (0, 0)))
+                          for p in padded_pyramid]
 
     shapes = [p.shape for p in padded_pyramid]
     starts, fracs = _starts_and_fracs(shapes, coords.reshape(Q, 2), radius)
+    if Qp != Q:
+        starts = jnp.pad(starts, ((0, Qp - Q), (0, 0)))
+        fracs = jnp.pad(fracs, ((0, Qp - Q), (0, 0)))
+    Q_out = Q
+    Q = Qp
 
     # starts ride per-block in SMEM: a whole-array scalar prefetch pads
     # (Q, L*2) i32 to 128 lanes and blows the 1 MB SMEM budget (found
@@ -181,5 +192,5 @@ def fused_corr_lookup(padded_pyramid, coords, radius=4, tq=8):
     )(starts, fracs, *padded_pyramid)
 
     # kernel emits [l, j, i]; reference channel order is l*K*K + i*K + j
-    out = jnp.swapaxes(out, 2, 3)
+    out = jnp.swapaxes(out[:Q_out], 2, 3)
     return out.reshape(B, H1, W1, L * k * k)
