@@ -293,11 +293,13 @@ def bench_multi(jax, jnp, H, W, n_frames, precision, window, n_targets=8):
         from woft_tpu.tracker import tracker_init_state
         from woft_tpu.pipeline import build_shared_multi_chunk
         masks_np = []
+        rows = max(1, (n_targets + 3) // 4)
+        ch = H // rows                       # grid scales with n_targets
         for t in range(n_targets):
             m = np.zeros((H, W), bool)
-            y = (t // 4) * (H // 2)
+            y = (t // 4) * ch
             x = (t % 4) * (W // 4)
-            m[y + H // 8:y + 3 * H // 8, x + W // 16:x + 3 * W // 16] = True
+            m[y + ch // 4:y + 3 * ch // 4, x + W // 16:x + 3 * W // 16] = True
             masks_np.append(m.reshape(-1))
         masks = jnp.asarray(np.stack(masks_np))
         state = tracker_init_state(params, cfg, tp, base,

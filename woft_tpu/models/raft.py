@@ -43,7 +43,10 @@ class RaftConfig:
     weight_head_structure: Tuple = ((128, 3), (128, 3), (128, 3))
     mask_head_structure: Tuple = ()
     corr_impl: str = "onehot"          # 'onehot' | 'gather' | 'rowgather'
-                                       # | 'dslice' | 'pallas'
+                                       # | 'dslice' | 'band' | 'pallas'
+                                       # | 'local' (block-shared recentered
+                                       # windows — the production big-frame
+                                       # impl, configs/WOFT_fast.py)
     alternate_corr: bool = False       # on-the-fly windowed correlation:
                                        # no materialized volume (huge frames)
     alt_chunk: int = 4096              # queries per alternate-corr map step
