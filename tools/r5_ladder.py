@@ -123,12 +123,14 @@ def main():
         print(f"RESULT " + json.dumps(
             {"rung": "07a 4K native decode-only",
              "fps": round(d, 1) if d else None}), flush=True)
-        for name, native, u8 in (("07b stream4k native u8", True, 1),
-                                 ("07c stream4k native f32", True, 0),
-                                 ("07d stream4k cv2 u8", False, 1)):
+        # per-variant frame budgets: the f32 row moves 95 MB/frame through
+        # the ~12.5 MB/s tunnel (~8 s/frame measured r5) — cap its wall time
+        for name, native, u8, nf in (("07b stream4k native u8", True, 1, 60),
+                                     ("07c stream4k native f32", True, 0, 12),
+                                     ("07d stream4k cv2 u8", False, 1, 30)):
             os.environ["WOFT_STREAM_U8"] = str(u8)
-            rung(name, lambda nat=native: (sb.run_stream(n, native=nat),
-                                           None))
+            rung(name, lambda nat=native, nf=min(nf, n):
+                 (sb.run_stream(nf, native=nat), None))
 
 
 if __name__ == "__main__":
