@@ -63,7 +63,7 @@ class TrackerParams:
                                     # | 'cvransac' | 'trs' (host callbacks)
     irls_k: float = 2.0
     irls_iters: int = 5
-    ransac_thr: float = 3.0         # ablation_09 (ref:..._cvransac_wLSq.py:27)
+    ransac_thr: float = 3.0         # ablation_09 (ref:pytracking/configs/YAOFT_single_control_repRAFT_sub500_noreliableinl_cvransac.py:27)
     ransac_iters: int = 10000
     redetection: str = "inliers"    # 'inliers' | 'never' | 'always'
     use_pw_mask: bool = True        # mask TCs by the pre-warp validity region
