@@ -102,6 +102,14 @@ def main():
                                                  window, nt))
         os.environ.pop("WOFT_BENCH_MULTI_MODE", None)
         os.environ.pop("WOFT_BENCH_CHUNK", None)
+    if "03w" in which:
+        # window-mode multi (r4 row: 156 targets·fr/s with the then-default
+        # one-hot) re-measured with corr_impl='local' (+18% at single-window)
+        os.environ["WOFT_BENCH_CHUNK"] = "8"
+        os.environ["WOFT_BENCH_CORR"] = "local"
+        rung("03w window multi x8 local chunk=8",
+             lambda: bench.bench_multi(jax, jnp, H, W, n, prec, window, 8))
+        os.environ.pop("WOFT_BENCH_CHUNK", None)
     if "04" in which:
         rung("04 deep trace full per-frame", lambda: (trace_rung(), None)
              and (0.0, None) or (0.0, None))

@@ -21,6 +21,16 @@ def get_config():
         Path(__file__).resolve().parent / "flow" / "wraft_large.py")
     conf.flow_config.weights_postprocessing_fn = None
 
+    # window-mode ckpt preference (r5): the v5 multi-scale fine-tune wins
+    # the WINDOW 720p eval on every metric (1.315/0.81/2.26 vs v4's
+    # 1.349/0.78/2.78 — RESULTS.md r5) while LOSING full-frame, so only
+    # this config prefers it; WOFT_WRAFT_CKPT still overrides everything
+    import os
+    _v5 = (Path(__file__).resolve().parent.parent.parent
+           / "weights" / "wraft_tpu_v5")
+    if _v5.exists() and not os.environ.get("WOFT_WRAFT_CKPT"):
+        conf.flow_config.model = _v5
+
     # deterministic named config: window-size overrides go through
     # bench.py's WOFT_BENCH_WINDOW knob or an explicit config variant
     # (WOFT_window_384.py), never the environment
