@@ -33,6 +33,7 @@ Env knobs:
                                 + flow-head kernels off/on (same default)
 """
 
+import dataclasses
 import json
 import os
 import subprocess
@@ -274,10 +275,15 @@ def bench_multi(jax, jnp, H, W, n_frames, precision, window, n_targets=8):
                                               build_window_track_step,
                                               window_init_state)
 
-    cfg = _make_cfg(jax, precision)   # honors WOFT_BENCH_CORR/GRU/TAIL:
-    #                                   under vmap each target sees B=1, so
-    #                                   corr_impl picks Pallas-block-local vs
-    #                                   batched-dense — the x8-MFU A/B knob
+    cfg = _make_cfg(jax, precision)   # honors WOFT_BENCH_CORR/GRU/TAIL
+    if (os.environ.get("WOFT_BENCH_MULTI_MODE") != "shared"
+            and not os.environ.get("WOFT_BENCH_CORR")):
+        # vmapped window-multi cannot ride the block-local Pallas kernels:
+        # Mosaic rejects the vmap-batched block specs (measured r5 ladder
+        # 03w, "supports ANY only blocks having the same block shape...").
+        # The shared-flow mode runs its ONE full-frame flow un-vmapped and
+        # keeps 'local'; per-window multi pins the r4-measured one-hot.
+        cfg = dataclasses.replace(cfg, corr_impl="onehot")
     tp = TrackerParams(padding_mode="nopad", redetection="always",
                        no_local_h=True)
     wp = WindowParams(size=window)
