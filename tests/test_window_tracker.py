@@ -143,6 +143,81 @@ def test_square_crop_isotropic(frame_and_mask):
     assert np.isclose(h_tmpl[0, 0], h_tmpl[1, 1]), h_tmpl
 
 
+def _tiny_window_config(**over):
+    """Host-side WOFTWindowTracker config with a tiny random-weight RAFT."""
+    from woft_tpu.config import Config
+    from woft_tpu.flow.wrapper import RaftFlow
+    from woft_tpu.tracker import TrackerParams
+    from woft_tpu.tracker.window import WOFTWindowTracker
+
+    conf = Config()
+    conf.tracker_class = WOFTWindowTracker
+    flow = Config()
+    flow.of_class = RaftFlow
+    flow.raft_type = "weighted"
+    flow.class_params = Config()
+    flow.class_params.small = False
+    flow.class_params.weight_head_structure = [(32, 3)]
+    flow.iters = 1
+    flow.padding_mode = "nopad"
+    flow.precision = "default"
+    conf.flow_config = flow
+    conf.tracker_params = TrackerParams(padding_mode="nopad",
+                                        subsample_n=100, no_local_h=True)
+    conf.window_size = 64
+    conf.window_margin = 0.5
+    conf.min_window_px = 20
+    for k, v in over.items():
+        setattr(conf, k, v)
+    return conf
+
+
+def test_native_scale_window_is_lossless_when_small():
+    """window_native_scale: a target whose margin-padded bbox fits the cap
+    gets per-sequence dims at EXACTLY native scale (isotropic, s == 1) —
+    the capability the fixed-budget mode trades away
+    (ref:WOFT_window.py:37-44 native-resolution crops)."""
+    conf = _tiny_window_config(window_native_scale=True,
+                               window_max_px=128, window_snap_px=32)
+    tracker = conf.tracker_class(conf)
+    rng = np.random.default_rng(1)
+    frame = rng.uniform(0, 255, (160, 224, 3)).astype(np.uint8)
+    mask = np.zeros((160, 224), np.uint8)
+    mask[60:100, 80:140] = 1          # 60x40 bbox -> +50% margins = 120x80
+
+    tracker.init(frame, mask)
+    # ceil-snap to 32: 120 -> 128 wide, 80 -> 96 tall; scale exactly 1
+    assert tracker.win_hw == (96, 128), tracker.win_hw
+    h = np.asarray(tracker.h_tmpl_crop)
+    assert np.isclose(h[0, 0], 1.0) and np.isclose(h[1, 1], 1.0), h
+    assert np.allclose(h[[0, 1], [1, 0]], 0.0), h   # pure translation
+
+    # per-frame search region keeps the fixed native source size
+    h_cur, meta = tracker.track(frame)
+    assert np.isfinite(h_cur).all()
+    sw, sh = meta.search_bbox[2], meta.search_bbox[3]
+    assert np.isclose(sw, 128) and np.isclose(sh, 96), meta.search_bbox
+
+
+def test_native_scale_window_caps_isotropically():
+    """Above the cap the crop downsizes by ONE exact isotropic factor on
+    both axes (the r2 lesson: anisotropic squeeze costs accuracy)."""
+    conf = _tiny_window_config(window_native_scale=True,
+                               window_max_px=64, window_snap_px=32)
+    tracker = conf.tracker_class(conf)
+    rng = np.random.default_rng(1)
+    frame = rng.uniform(0, 255, (160, 224, 3)).astype(np.uint8)
+    mask = np.zeros((160, 224), np.uint8)
+    mask[60:100, 80:140] = 1          # margin-padded native box = 120x80
+
+    tracker.init(frame, mask)
+    wh, ww = tracker.win_hw
+    assert max(wh, ww) <= 64, tracker.win_hw
+    h = np.asarray(tracker.h_tmpl_crop)
+    s = 64 / 120.0
+    assert np.isclose(h[0, 0], s) and np.isclose(h[1, 1], s), (h, s)
+
+
 def test_window_sparse_weight_path_matches_dense():
     """Window-tracker sparse weight-head path == dense path."""
     import jax

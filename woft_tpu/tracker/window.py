@@ -53,6 +53,18 @@ class WOFTWindowTracker:
     config additions: ``window_size`` (default 256), ``window_margin``
     (bbox margin fraction, default 0.5), ``min_window_px`` (min source
     bbox size, default 160 ~ the reference's 8*20, ref:WOFT_window.py:41).
+
+    ``window_native_scale = True`` switches to the native-resolution crop
+    mode — the capability twin of the reference's variable-size crops
+    (ref:WOFT_window.py:37-44 fixes a native-scale search bbox per
+    SEQUENCE): the window dims follow the margin-padded template bbox
+    (snapped to ``window_snap_px`` to bound the number of distinct
+    compile shapes), capped at ``window_max_px``. The crop scale is then
+    exactly isotropic and exactly 1 whenever the native region fits the
+    cap — a lossless crop for small targets, where the fixed-budget mode
+    would resample. The per-frame search region keeps the SAME fixed
+    source size, re-centered on the current estimate (a superset of the
+    reference, whose search bbox never moves).
     """
 
     def __init__(self, config):
@@ -62,6 +74,12 @@ class WOFTWindowTracker:
         self.S = int(config.window_size or 256)
         self.margin = float(config.window_margin or 0.5)
         self.min_px = int(config.min_window_px or 160)
+        self.native_scale = bool(config.window_native_scale)
+        self.max_px = int(config.window_max_px or 2 * self.S)
+        self.snap_px = int(config.window_snap_px or 32)
+        if self.snap_px % 8:
+            raise ValueError("window_snap_px must be a multiple of 8 "
+                             "(RAFT feature stride)")
         # isotropic crops by default: the window takes the template bbox's
         # aspect at init (area ~= window_size^2, dims /8), so the
         # bbox->window resample is undistorted at the best possible scale.
@@ -95,8 +113,22 @@ class WOFTWindowTracker:
         content wastes window resolution), then min-size; the aspect growth
         is translated back into the frame when it fits."""
         box = project_bbox(self.template_bbox, h_init2cur)
-        box = box.with_margins(self.margin)
         frame_box = Bbox.from_xywh((0, 0, frame_shape[1], frame_shape[0]))
+        if self.native_scale:
+            # fixed-size native-scale search region re-centered on the
+            # current estimate: the crop scale stays the exact isotropic
+            # per-sequence constant (ref:WOFT_window.py:37-44 keeps the
+            # bbox itself fixed; re-centering is a strict superset). The
+            # template bbox already carries the margins in this mode.
+            inter = box.intersection(frame_box)
+            if inter.w < 8 or inter.h < 8:   # lost far outside
+                return frame_box
+            cx, cy = box.get_center()
+            sw, sh = self._src_wh
+            return _shift_into(
+                Bbox.from_xywh((cx - sw / 2, cy - sh / 2, sw, sh)),
+                frame_box)
+        box = box.with_margins(self.margin)
         inter = box.intersection(frame_box)
         if inter.w < 8 or inter.h < 8:   # lost far outside: search everywhere
             return frame_box
@@ -113,7 +145,29 @@ class WOFTWindowTracker:
         frame_box = Bbox.from_xywh((0, 0, img.shape[1], img.shape[0]))
         self.template_bbox = Bbox.from_mask(mask > 0).with_margins(self.margin)
         self.template_bbox = self.template_bbox.intersection(frame_box)
-        if self.iso_crop:
+        if self.native_scale:
+            # per-sequence static dims at the native crop scale
+            # (ref:WOFT_window.py:37-44: margin-padded bbox, min 8*20 px,
+            # native resolution). s is the exact isotropic crop scale;
+            # snapping GROWS the source region (ceil) so content is never
+            # cropped away by the shape grid, and s stays exact because
+            # the source box is derived back from the snapped dims.
+            box = self.template_bbox.with_margins_min_size(self.min_px)
+            s = min(1.0, self.max_px / max(box.w, box.h))
+            snap = self.snap_px
+            ww = int(np.clip(np.ceil(box.w * s / snap) * snap, 64,
+                             self.max_px))
+            wh = int(np.clip(np.ceil(box.h * s / snap) * snap, 64,
+                             self.max_px))
+            self.win_hw = (wh, ww)
+            self._src_wh = (ww / s, wh / s)
+            cx, cy = box.get_center()
+            self.template_bbox = _shift_into(
+                Bbox.from_xywh((cx - self._src_wh[0] / 2,
+                                cy - self._src_wh[1] / 2,
+                                self._src_wh[0], self._src_wh[1])),
+                frame_box)
+        elif self.iso_crop:
             # rectangular window matching the template aspect: same pixel
             # area as window_size^2, dims multiples of 8, aspect clipped
             aspect = np.clip(self.template_bbox.w
