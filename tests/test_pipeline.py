@@ -183,6 +183,20 @@ def test_shared_multi_step_matches_full_tracker():
         np.testing.assert_allclose(np.asarray(hs[t]), np.asarray(h_ref),
                                    atol=1e-3)
 
+    # grouped fits (multi_fit_chunk < N forces the lax.map path, incl. an
+    # all-False padding target) must reproduce the single-vmap results
+    import dataclasses
+    tp_chunked = dataclasses.replace(tp, multi_fit_chunk=2)
+    shared_c = build_shared_multi_step(cfg, tp_chunked, flow_fn=tiny_flow)
+    state_c = tracker_init_state({}, cfg, tp_chunked, jnp.asarray(base_np),
+                                 jnp.asarray(masks_np[0]), encode=False)
+    _, h_last_c, hs_c, meta_c = shared_c({}, state_c, masks, h_last,
+                                         jnp.asarray(frame_np))
+    np.testing.assert_allclose(np.asarray(hs_c), np.asarray(hs), atol=1e-3)
+    np.testing.assert_array_equal(
+        np.asarray(meta_c["global_H_success"]),
+        np.asarray(meta["global_H_success"]))
+
 
 def test_full_track_chunk_matches_per_frame():
     """build_full_track_chunk (scan over T frames) == T per-frame steps."""

@@ -82,6 +82,14 @@ class TrackerParams:
                                     # consumes (identical logits, ~65x less
                                     # head work at 1080p); auto-disabled for
                                     # non-default flow seams/variants
+    multi_fit_chunk: int = 64       # shared-flow multi mode: vmap the
+                                    # per-target TC-select+fit over at most
+                                    # this many targets at once, lax.map
+                                    # over groups beyond it — the vmapped
+                                    # sparse weight-head patches are the
+                                    # HBM ceiling (x128 @1080p OOM'd at
+                                    # 2x11.1 GB, measured r5); <=64 keeps
+                                    # every recorded graph unchanged
 
 
 class TrackerState:
@@ -613,7 +621,25 @@ def build_shared_multi_step(raft_cfg: RaftConfig, tp: TrackerParams,
             ok, frac = _success_check(tp, H_pw2init, dst_g, src_g, sel[0:1])
             return compose_h(last_good, H_pw2init[0]), ok, frac
 
-        hs_fit, oks, fracs = jax.vmap(fit_one)(masks)      # (N,3,3),(N,),(N,)
+        n_t = masks.shape[0]
+        fit_chunk = tp.multi_fit_chunk or n_t
+        if n_t <= fit_chunk:
+            hs_fit, oks, fracs = jax.vmap(fit_one)(masks)  # (N,3,3),(N,),(N,)
+        else:
+            # group the target fits: vmap width bounds the sparse
+            # weight-head patch temp ((group, Q, 9, 9, C) instead of
+            # (N, Q, 9, 9, C)); lax.map serializes the ~1 ms groups.
+            # Padding targets are all-False masks — their fits are junk
+            # but sliced away below.
+            groups = -(-n_t // fit_chunk)
+            pad = groups * fit_chunk - n_t
+            grouped = jnp.pad(masks, ((0, pad), (0, 0))).reshape(
+                groups, fit_chunk, -1)
+            hs_fit, oks, fracs = jax.lax.map(
+                lambda m: jax.vmap(fit_one)(m), grouped)
+            hs_fit = hs_fit.reshape(-1, 3, 3)[:n_t]
+            oks = oks.reshape(-1)[:n_t]
+            fracs = fracs.reshape(-1)[:n_t]
         # per-target ladder: keep the last good H when a fit fails
         hs = jnp.where(oks[:, None, None], hs_fit, h_last)
         new_h_last = jnp.where(oks[:, None, None], hs_fit, h_last)
