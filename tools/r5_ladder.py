@@ -95,8 +95,13 @@ def main():
         os.environ["WOFT_BENCH_CORR"] = "local"
         # the shared-flow design amortizes ONE full-frame flow across N
         # targets: targets·fr/s = N * fps should grow ~linearly in N until
-        # the vmapped fits bite (the >200 targets·fr/s VERDICT #4 bar)
-        for nt in (8, 16, 32):
+        # the vmapped fits bite (the >200 targets·fr/s VERDICT #4 bar).
+        # Curve measured r5: 108/120/181/264/394/437 at 8..256 — x128 is
+        # the knee (fits lax.map-group beyond multi_fit_chunk=64; a single
+        # x128 fit vmap OOMs). Override rungs: WOFT_LADDER_MULTI_N=8,64,128
+        nts = tuple(int(s) for s in os.environ.get(
+            "WOFT_LADDER_MULTI_N", "8,16,32,64,128").split(","))
+        for nt in nts:
             rung(f"03 shared-flow multi x{nt}",
                  lambda nt=nt: bench.bench_multi(jax, jnp, H, W, n, prec,
                                                  window, nt))
