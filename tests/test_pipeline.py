@@ -334,3 +334,65 @@ def test_track_video_end_to_end(tmp_path):
     assert np.allclose(hs[0], np.eye(3))
     # normalized homographies (h22 = 1) for every tracked frame
     assert np.allclose(hs[:, 2, 2], 1.0, atol=1e-5)
+
+
+def test_shared_multi_tracker_class_api():
+    """SharedMultiTracker (the user-facing shell for the shared-flow
+    design) must reproduce the raw build_shared_multi_step results through
+    both track() and track_chunk(), starting from uint8 BGR frames."""
+    from woft_tpu.tracker import tracker_init_state
+    from woft_tpu.tracker.woft import build_shared_multi_step
+    from woft_tpu.pipeline import SharedMultiTracker
+
+    cfg = RaftConfig(variant="weighted", iters=1)
+    tp = TrackerParams(padding_mode="nopad", redetection="always")
+
+    def tiny_flow(params, img1, img2, template_feats=None):
+        H, W = img2.shape[1:3]
+        gy = jnp.sin(jnp.arange(H) / 17.0)[None, :, None, None]
+        gx = jnp.cos(jnp.arange(W) / 13.0)[None, None, :, None]
+        return (0.05 * jnp.concatenate([gx + 0 * gy, gy + 0 * gx], -1)
+                * jnp.ones((1, H, W, 2)),
+                jnp.ones((1, H, W, 1)))
+
+    rng = np.random.default_rng(1)
+    base_u8 = rng.uniform(0, 255, (H_IMG, W_IMG, 3)).astype(np.uint8)
+    f1_u8 = rng.uniform(0, 255, (H_IMG, W_IMG, 3)).astype(np.uint8)
+    f2_u8 = rng.uniform(0, 255, (H_IMG, W_IMG, 3)).astype(np.uint8)
+    masks_np = np.zeros((3, H_IMG, W_IMG), bool)
+    masks_np[0, 10:40, 10:50] = True
+    masks_np[1, 50:90, 20:60] = True
+    masks_np[2, 20:70, 70:120] = True
+
+    mt = SharedMultiTracker({}, cfg, tp, flow_fn=tiny_flow)
+    mt.init(base_u8, masks_np)
+    assert mt.tp.no_local_h and not mt.tp.host_fallback
+    hs1, meta1 = mt.track(f1_u8)
+    hs2, _ = mt.track(f2_u8)
+    assert hs1.shape == (3, 3, 3) and meta1["global_H_success"].shape == (3,)
+
+    # oracle: drive the raw step by hand with identical inputs
+    tp_forced = mt.tp
+    step = build_shared_multi_step(cfg, tp_forced, flow_fn=tiny_flow)
+    state = tracker_init_state(
+        {}, cfg, tp_forced,
+        jnp.asarray(base_u8[:, :, ::-1].astype(np.float32))[None],
+        jnp.asarray(masks_np[0]), encode=False)
+    masks = jnp.asarray(masks_np.reshape(3, -1))
+    h_last = jnp.tile(jnp.eye(3, dtype=jnp.float32), (3, 1, 1))
+    state, h_last, r1, _ = step(
+        {}, state, masks, h_last,
+        jnp.asarray(f1_u8[:, :, ::-1].astype(np.float32))[None])
+    state, h_last, r2, _ = step(
+        {}, state, masks, h_last,
+        jnp.asarray(f2_u8[:, :, ::-1].astype(np.float32))[None])
+    np.testing.assert_allclose(hs1, np.asarray(r1), atol=1e-4)
+    np.testing.assert_allclose(hs2, np.asarray(r2), atol=1e-4)
+
+    # track_chunk: same two frames in one dispatch == the per-frame pair
+    mt2 = SharedMultiTracker({}, cfg, tp, flow_fn=tiny_flow)
+    mt2.init(base_u8, masks_np)
+    hs_c, meta_c = mt2.track_chunk(np.stack([f1_u8, f2_u8]))
+    assert hs_c.shape == (2, 3, 3, 3)
+    np.testing.assert_allclose(hs_c[0], hs1, atol=1e-4)
+    np.testing.assert_allclose(hs_c[1], hs2, atol=1e-4)
